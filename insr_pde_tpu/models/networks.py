@@ -1,0 +1,117 @@
+"""Coordinate networks as pure functions over param pytrees.
+
+TPU-native redesign of the reference network zoo (reference: base/networks.py).
+The SIREN MLP keeps the exact reference architecture and init distributions
+(ω0=30, U[±1/n] first layer, U[±√(6/n)/30] elsewhere — base/networks.py:21-93)
+so that converged fields are distributionally comparable, but is a pure
+`apply(params, x)` function: weights are a pytree that the per-timestep solver
+re-optimizes functionally (state -> state), and XLA fuses the whole sine-MLP
+chain into one program.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = List[Tuple[jax.Array, jax.Array]]  # [(W (in,out), b (out,)), ...]
+
+OMEGA_0 = 30.0  # SIREN frequency factor (reference base/networks.py:27)
+
+
+def _linear_bias_init(key, fan_in, fan_out, dtype):
+    # torch.nn.Linear default bias init: U[-1/sqrt(fan_in), 1/sqrt(fan_in)]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, (fan_out,), dtype, -bound, bound)
+
+
+@dataclass(frozen=True)
+class MLP:
+    """SIREN-style MLP: Linear+nl, num_hidden_layers x (Linear+nl), Linear.
+
+    Architecture parity with reference base/networks.py:30-71.
+    """
+    in_features: int
+    out_features: int
+    num_hidden_layers: int = 3
+    hidden_features: int = 64
+    nonlinearity: str = "sine"
+    outermost_linear: bool = True
+
+    @property
+    def layer_dims(self) -> List[Tuple[int, int]]:
+        dims = [(self.in_features, self.hidden_features)]
+        dims += [(self.hidden_features, self.hidden_features)] * self.num_hidden_layers
+        dims += [(self.hidden_features, self.out_features)]
+        return dims
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        params = []
+        for i, (fan_in, fan_out) in enumerate(self.layer_dims):
+            key, kw, kb = jax.random.split(key, 3)
+            if self.nonlinearity == "sine":
+                if i == 0:
+                    # first_layer_sine_init (reference base/networks.py:88-93)
+                    bound = 1.0 / fan_in
+                else:
+                    # sine_init (reference base/networks.py:80-85)
+                    bound = math.sqrt(6.0 / fan_in) / OMEGA_0
+                w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+            elif self.nonlinearity == "relu":
+                # kaiming normal, fan_in, relu gain (base/networks.py:74-77)
+                std = math.sqrt(2.0 / fan_in)
+                w = std * jax.random.normal(kw, (fan_in, fan_out), dtype)
+            elif self.nonlinearity == "elu":
+                # init_weights_elu (base/networks.py:96-100)
+                std = math.sqrt(1.5505188080679277) / math.sqrt(fan_in)
+                w = std * jax.random.normal(kw, (fan_in, fan_out), dtype)
+            else:
+                raise NotImplementedError(self.nonlinearity)
+            b = _linear_bias_init(kb, fan_in, fan_out, dtype)
+            params.append((w, b))
+        return params
+
+    def apply(self, params: Params, coords: jax.Array,
+              weights: jax.Array | None = None) -> jax.Array:
+        """Forward pass on (..., in_features) coords.
+
+        Uses HIGHEST matmul precision: second-order derivatives of sin(30x)
+        amplify rounding by ~30 per derivative order, so the MXU's default
+        bf16-pass f32 lowering is not acceptable here.
+        """
+        h = coords
+        n_layers = len(params)
+        for i, (w, b) in enumerate(params):
+            h = jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
+            is_last = i == n_layers - 1
+            if not is_last or not self.outermost_linear:
+                h = self._nl(h)
+        if weights is not None:
+            h = h * weights
+        return h
+
+    def _nl(self, x):
+        if self.nonlinearity == "sine":
+            return jnp.sin(OMEGA_0 * x)
+        if self.nonlinearity == "relu":
+            return jax.nn.relu(x)
+        if self.nonlinearity == "elu":
+            return jax.nn.elu(x)
+        raise NotImplementedError(self.nonlinearity)
+
+    def point_fn(self, params: Params):
+        """Return fn mapping one point (in_features,) -> (out_features,),
+        for use with ops.diff transforms."""
+        return lambda x: self.apply(params, x)
+
+
+def get_network(cfg: Any, in_features: int, out_features: int) -> MLP:
+    """Network factory (reference base/networks.py:12-17)."""
+    if cfg.network == "siren":
+        return MLP(in_features, out_features, cfg.num_hidden_layers,
+                   cfg.hidden_features, nonlinearity=cfg.nonlinearity)
+    raise NotImplementedError(f"network={cfg.network}")

@@ -1,0 +1,221 @@
+"""The per-timestep optimization engine.
+
+TPU-native redesign of the reference's `@_training_loop` decorator (reference:
+base/baseModel.py:96-135), which runs up to 20k Adam iterations in a Python
+loop. Here the loop body (sample -> loss -> grad -> Adam -> plateau-LR
+scheduler) compiles to a single XLA program via `lax.scan` over fixed-size
+chunks; the host only logs between chunks and decides when to stop. Early
+stopping keeps exact reference semantics (ReduceLROnPlateau factor 0.1,
+patience 500, rel-threshold 1e-4, min_lr 1e-8; stop when lr <= 1.1e-8 —
+base/baseModel.py:55-62,126-134) by freezing updates in-device once the LR
+floor is reached, so chunk overshoot is a no-op.
+
+Multi-chip: pass a `jax.sharding.Mesh`; the loss/grad computation runs under
+`shard_map` with params replicated and the collocation batch sharded by
+folding the mesh axis index into the per-iteration RNG key. Gradients and
+losses are `pmean`ed over ICI. This is the idiomatic TPU analogue of data/
+space parallelism for collocation-point workloads (SURVEY.md §2.13, §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+LossFn = Callable[[Any, jax.Array, Any], Dict[str, jax.Array]]
+# loss_fn(params, key, aux) -> {"main": scalar, ...}; total loss = sum of
+# values (reference base/baseModel.py:75); the scheduler keys on "main" only
+# (base/baseModel.py:81). `aux` carries frozen state (e.g. previous-timestep
+# field params, timestep index) as *traced* arguments so the compiled chunk
+# program is reused across all timesteps.
+
+
+class PlateauState(NamedTuple):
+    """State of the ReduceLROnPlateau-equivalent scheduler."""
+    best: jax.Array      # best 'main' loss seen (f32)
+    bad: jax.Array       # consecutive non-improving steps (i32)
+    scale: jax.Array     # multiplicative LR scale (f32), lr_now = lr * scale
+    stopped: jax.Array   # early-stop latch (bool)
+
+
+def plateau_init() -> PlateauState:
+    return PlateauState(
+        best=jnp.asarray(jnp.inf, jnp.float32),
+        bad=jnp.asarray(0, jnp.int32),
+        scale=jnp.asarray(1.0, jnp.float32),
+        stopped=jnp.asarray(False),
+    )
+
+
+def plateau_update(state: PlateauState, loss: jax.Array, *,
+                   factor: float, patience: int, threshold: float,
+                   min_scale: float, stop_scale: float,
+                   early_stop: bool) -> PlateauState:
+    """One scheduler step on the 'main' loss (torch ReduceLROnPlateau
+    semantics: mode=min, threshold_mode=rel, cooldown=0)."""
+    improved = loss < state.best * (1.0 - threshold)
+    best = jnp.where(improved, loss, state.best)
+    bad = jnp.where(improved, 0, state.bad + 1)
+    trigger = bad > patience
+    scale = jnp.where(trigger, jnp.maximum(state.scale * factor, min_scale),
+                      state.scale)
+    bad = jnp.where(trigger, 0, bad)
+    stopped = state.stopped
+    if early_stop:
+        stopped = stopped | (scale <= stop_scale)
+    return PlateauState(best, bad, scale, stopped)
+
+
+class SolveState(NamedTuple):
+    params: Any
+    opt_state: Any
+    plateau: PlateauState
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Any
+    history: Dict[str, Any]       # per-iteration loss values (host numpy)
+    n_iters: int                  # iterations actually run (before stop latch)
+    final_loss: float
+
+
+def _tree_scale(tree, s):
+    return jax.tree_util.tree_map(lambda x: x * s, tree)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class Solver:
+    """Compiled per-phase optimizer.
+
+    One Solver per (model, phase): build it once, then `fit()` per timestep —
+    the chunk program is compiled on first use and reused every step, which is
+    where the reference pays Python-loop overhead 20k times per step.
+    """
+
+    def __init__(self, loss_fn: LossFn, *, lr: float,
+                 max_n_iters: int, chunk_size: int = 250,
+                 early_stop: bool = True,
+                 plateau_factor: float = 0.1, plateau_patience: int = 500,
+                 plateau_threshold: float = 1e-4, plateau_min_lr: float = 1e-8,
+                 early_stop_min_lr: float = 1.1e-8,
+                 mesh: Optional[Mesh] = None, mesh_axis: str = "data"):
+        self.loss_fn = loss_fn
+        self.lr = lr
+        self.max_n_iters = max_n_iters
+        self.chunk_size = min(chunk_size, max_n_iters)
+        self.early_stop = early_stop
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._plateau_kw = dict(
+            factor=plateau_factor, patience=plateau_patience,
+            threshold=plateau_threshold,
+            min_scale=plateau_min_lr / lr,
+            stop_scale=early_stop_min_lr / lr,
+            early_stop=early_stop,
+        )
+        self.opt = optax.adam(lr)
+        self._chunk_fns: Dict[int, Callable] = {}
+
+    # ---- loss/grad with optional collocation sharding ----
+    def _value_and_grad(self, params, key, aux):
+        def total(p, k, a):
+            ld = self.loss_fn(p, k, a)
+            return sum(ld.values()), ld
+
+        if self.mesh is None or self.mesh.size == 1:
+            (tot, ld), grads = jax.value_and_grad(total, has_aux=True)(
+                params, key, aux)
+            return ld, grads
+
+        axis = self.mesh_axis
+
+        def local(p, k, a):
+            # per-device collocation batch: fold the mesh coordinate into the
+            # RNG key; grads/losses are pmean'ed over ICI.
+            lk = jax.random.fold_in(k, jax.lax.axis_index(axis))
+            (tot, ld), grads = jax.value_and_grad(total, has_aux=True)(p, lk, a)
+            ld = jax.lax.pmean(ld, axis)
+            grads = jax.lax.pmean(grads, axis)
+            return ld, grads
+
+        return jax.shard_map(local, mesh=self.mesh,
+                             in_specs=(P(), P(), P()),
+                             out_specs=(P(), P()))(params, key, aux)
+
+    # ---- one Adam + scheduler step ----
+    def _step(self, aux, carry: SolveState, _):
+        key, sub = jax.random.split(carry.key)
+        ld, grads = self._value_and_grad(carry.params, sub, aux)
+
+        updates, opt_state = self.opt.update(grads, carry.opt_state, carry.params)
+        updates = _tree_scale(updates, carry.plateau.scale)
+        new_params = optax.apply_updates(carry.params, updates)
+
+        # freeze everything once early-stopped (in-device 'break')
+        active = ~carry.plateau.stopped
+        params = _tree_where(active, new_params, carry.params)
+        opt_state = _tree_where(active, opt_state, carry.opt_state)
+        plateau = plateau_update(carry.plateau, ld["main"], **self._plateau_kw)
+        plateau = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), plateau, carry.plateau)
+
+        out = dict(ld)
+        out["_lr"] = self.lr * carry.plateau.scale
+        out["_active"] = active
+        return SolveState(params, opt_state, plateau, key), out
+
+    def _get_chunk_fn(self, length: int):
+        if length not in self._chunk_fns:
+            @partial(jax.jit, donate_argnums=0)
+            def run_chunk(state: SolveState, aux):
+                with jax.default_matmul_precision("highest"):
+                    return jax.lax.scan(partial(self._step, aux), state, None,
+                                        length=length)
+            self._chunk_fns[length] = run_chunk
+        return self._chunk_fns[length]
+
+    # ---- public API ----
+    def init_state(self, params, key) -> SolveState:
+        # copy: the chunk runner donates its input state, and the caller's
+        # params buffers may be aliased elsewhere (e.g. as next step's frozen
+        # `prev` field)
+        params = jax.tree_util.tree_map(jnp.copy, params)
+        return SolveState(params, self.opt.init(params), plateau_init(), key)
+
+    def fit(self, params, key, aux=None, *, callback=None) -> FitResult:
+        """Run the solve loop. callback(it, params, chunk_losses) is invoked
+        after each chunk (host-side; analogue of the reference's per-
+        vis_frequency hooks, base/baseModel.py:122-124)."""
+        state = self.init_state(params, key)
+        history: Dict[str, list] = {}
+        it = 0
+        while it < self.max_n_iters:
+            n = min(self.chunk_size, self.max_n_iters - it)
+            state, outs = self._get_chunk_fn(n)(state, aux)
+            outs = jax.tree_util.tree_map(lambda x: jax.device_get(x), outs)
+            active = outs.pop("_active")
+            n_active = int(active.sum())
+            for k, v in outs.items():
+                history.setdefault(k, []).append(v[:n_active] if n_active < n else v)
+            it += n
+            if callback is not None:
+                callback(it, state.params, {k: v[-1] for k, v in outs.items()})
+            if n_active < n:  # early-stopped inside this chunk
+                it = it - n + n_active
+                break
+        hist = {k: jnp.concatenate([jnp.atleast_1d(jnp.asarray(x)) for x in v])
+                for k, v in history.items()}
+        final = float(hist["main"][-1]) if "main" in hist and hist["main"].size else 0.0
+        return FitResult(params=state.params, history=hist, n_iters=it,
+                         final_loss=final)

@@ -1,0 +1,13 @@
+from .sampling import (  # noqa: F401
+    sample_uniform,
+    sample_random,
+    sample_boundary,
+    sample_boundary2D_separate,
+)
+from .diff import (  # noqa: F401
+    gradient,
+    divergence,
+    laplace,
+    jacobian,
+    hessian,
+)

@@ -1,0 +1,57 @@
+"""End-to-end 1D advection on a tiny config: residual-drop integration test
+(SURVEY.md §4) plus checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+from insr_pde_tpu.config import Config
+from insr_pde_tpu.models.advection import Advection1DModel
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return Config(
+        pde="advection", proj_dir=str(tmp_path), tag="adv_test",
+        init_cond="example1", num_hidden_layers=2, hidden_features=20,
+        sample_resolution=512, vis_resolution=100, max_n_iters=600,
+        chunk_size=200, dt=0.05, n_timesteps=2, early_stop=False,
+        backup_sources=False, seed=7,
+    )
+
+
+def test_advection_end_to_end(cfg):
+    cfg.setup_dirs()
+    model = Advection1DModel(cfg)
+
+    res0 = model.initialize()
+    # the init fit must actually fit the gaussian bump
+    assert res0.final_loss < 5e-3
+    values, samples = model.sample_field(100, return_samples=True)
+    ref = np.exp(-0.5 * (np.asarray(samples) + 1.5) ** 2 / 0.01)
+    err0 = np.sqrt(np.mean((np.asarray(values) - ref) ** 2))
+    assert err0 < 0.1
+
+    res1 = model.step()
+    assert res1.final_loss < res1.history["main"][0]  # residual dropped
+    assert model.timestep == 1
+
+    # field should still be bump-like, peak shifted right by vel*dt (tiny)
+    values1 = np.asarray(model.sample_field(100))
+    assert values1.max() > 0.5
+    peak0 = np.argmax(np.asarray(values))
+    peak1 = np.argmax(values1)
+    assert abs(int(peak1) - int(peak0)) <= 3
+
+
+def test_advection_ckpt_roundtrip(cfg):
+    cfg.max_n_iters = 200
+    cfg.setup_dirs()
+    model = Advection1DModel(cfg)
+    model.initialize()
+    vals = np.asarray(model.sample_field(50))
+
+    model2 = Advection1DModel(cfg)
+    model2.load_ckpt(0)
+    assert model2.timestep == 0
+    np.testing.assert_allclose(np.asarray(model2.sample_field(50)), vals,
+                               rtol=1e-6)

@@ -1,0 +1,118 @@
+"""Training-engine tests: Adam+plateau semantics, early stop, aux threading,
+and multi-device sharding equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from insr_pde_tpu.models.solver import (PlateauState, Solver, plateau_init,
+                                        plateau_update)
+
+
+def _quadratic_loss(params, key, aux):
+    # deterministic strongly-convex problem
+    target = jnp.asarray([1.0, -2.0, 3.0])
+    return {"main": jnp.sum((params - target) ** 2)}
+
+
+def test_solver_converges_quadratic():
+    solver = Solver(_quadratic_loss, lr=0.1, max_n_iters=2000, chunk_size=100,
+                    early_stop=False)
+    res = solver.fit(jnp.zeros(3), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(res.params, [1.0, -2.0, 3.0], atol=1e-2)
+    assert res.n_iters == 2000
+    assert res.history["main"].shape == (2000,)
+    assert res.final_loss < 1e-3
+
+
+def test_plateau_reduces_lr_and_early_stops():
+    # a loss that cannot improve -> plateau fires every `patience` iters,
+    # lr decays 1e-1 per fire until the early-stop latch at 1.1e-3
+    def const_loss(params, key, aux):
+        return {"main": jnp.asarray(1.0)}
+
+    solver = Solver(const_loss, lr=1e-1, max_n_iters=10000, chunk_size=100,
+                    early_stop=True, plateau_patience=50,
+                    plateau_min_lr=1e-3, early_stop_min_lr=1.1e-3)
+    res = solver.fit(jnp.zeros(2), jax.random.PRNGKey(0))
+    # needs 2 decades: ~2*(patience+1) iterations, far below max
+    assert res.n_iters < 500
+    lr_hist = res.history["_lr"]
+    np.testing.assert_allclose(float(lr_hist[0]), 1e-1, rtol=1e-6)
+    # the final active iteration trains at the pre-decay lr (the reference
+    # breaks after the scheduler step, base/baseModel.py:132-134), so the last
+    # recorded lr is one decade above the stop threshold
+    np.testing.assert_allclose(float(lr_hist[-1]), 1e-2, rtol=1e-5)
+
+
+def test_plateau_update_matches_torch_semantics():
+    st = plateau_init()
+    kw = dict(factor=0.1, patience=2, threshold=1e-4, min_scale=1e-4,
+              stop_scale=1.1e-4, early_stop=True)
+    # first loss always improves vs inf
+    st = plateau_update(st, jnp.asarray(1.0), **kw)
+    assert float(st.best) == 1.0 and int(st.bad) == 0
+    # non-improving (within rel threshold) increments bad
+    for i in range(2):
+        st = plateau_update(st, jnp.asarray(1.0), **kw)
+        assert int(st.bad) == i + 1
+        assert float(st.scale) == 1.0
+    # third non-improving step: bad(3) > patience(2) -> decay
+    st = plateau_update(st, jnp.asarray(1.0), **kw)
+    np.testing.assert_allclose(float(st.scale), 0.1, rtol=1e-6)
+    assert int(st.bad) == 0
+    # a real improvement resets
+    st = plateau_update(st, jnp.asarray(0.5), **kw)
+    assert float(st.best) == 0.5 and int(st.bad) == 0
+
+
+def test_aux_threading_no_recompile():
+    calls = []
+
+    def loss(params, key, aux):
+        calls.append(1)  # traced once per compiled variant
+        return {"main": jnp.sum((params - aux["target"]) ** 2)}
+
+    solver = Solver(loss, lr=0.05, max_n_iters=200, chunk_size=100,
+                    early_stop=False)
+    r1 = solver.fit(jnp.zeros(2), jax.random.PRNGKey(0),
+                    aux={"target": jnp.asarray([1.0, 1.0])})
+    n_traces = len(calls)
+    r2 = solver.fit(jnp.zeros(2), jax.random.PRNGKey(1),
+                    aux={"target": jnp.asarray([-1.0, 2.0])})
+    assert len(calls) == n_traces  # same compiled fn reused with new aux
+    np.testing.assert_allclose(r1.params, [1.0, 1.0], atol=0.05)
+    np.testing.assert_allclose(r2.params, [-1.0, 2.0], atol=0.05)
+
+
+def test_sharded_solver_matches_single_device():
+    """DP/SP over the collocation batch: an 8-device mesh where every device
+    contributes the same deterministic loss must match the unsharded run."""
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest should provide 8 CPU devices"
+    mesh = Mesh(np.asarray(devices[:8]), ("data",))
+
+    solver_1 = Solver(_quadratic_loss, lr=0.1, max_n_iters=300, chunk_size=100,
+                      early_stop=False)
+    solver_8 = Solver(_quadratic_loss, lr=0.1, max_n_iters=300, chunk_size=100,
+                      early_stop=False, mesh=mesh)
+    r1 = solver_1.fit(jnp.zeros(3), jax.random.PRNGKey(0))
+    r8 = solver_8.fit(jnp.zeros(3), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(r1.params, r8.params, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_stochastic_loss_runs():
+    """Stochastic loss with per-device RNG fold-in: just verify convergence."""
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    def noisy_loss(params, key, aux):
+        x = jax.random.normal(key, (64, 3))
+        target = jnp.asarray([1.0, -2.0, 3.0])
+        pred = x * params
+        return {"main": jnp.mean((pred - x * target) ** 2)}
+
+    solver = Solver(noisy_loss, lr=0.1, max_n_iters=500, chunk_size=100,
+                    early_stop=False, mesh=mesh)
+    res = solver.fit(jnp.zeros(3), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(res.params, [1.0, -2.0, 3.0], atol=0.05)
