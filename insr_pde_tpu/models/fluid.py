@@ -1,0 +1,194 @@
+"""2D inviscid fluid (operator splitting on [-1,1]^2).
+
+TPU-native redesign of reference fluid/model.py:11-233: velocity (2->2) and
+pressure (2->1) SIRENs; each timestep = three consecutive compiled solves:
+  1. semi-Lagrangian velocity advection (backtrace against the frozen
+     previous velocity field) with free-slip-style zero normal-velocity BCs,
+  2. pressure Poisson solve (div u = lap p) with Neumann BCs — the nested
+     second-order autodiff hot loop,
+  3. velocity projection u <- u_prev - grad p.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.diff import divergence, gradient, jacobian, laplace
+from ..ops.sampling import (sample_boundary2D_separate, sample_random,
+                            sample_uniform)
+from ..utils.viz import (draw_curl, draw_magnitude, draw_scalar_field2D,
+                         draw_vector_field2D, save_figure, save_numpy_img)
+from .base import BaseModel
+from .examples import get_examples
+
+
+class Fluid2DModel(BaseModel):
+    def __init__(self, cfg, mesh=None):
+        super().__init__(cfg, mesh)
+        self.vel_net = self._create_field("velocity", 2, 2)
+        self._create_field("velocity_prev", 2, 2)
+        self.p_net = self._create_field("pressure", 2, 1)
+        if not cfg.init_cond:
+            raise ValueError("fluid requires --init_cond (e.g. taylorgreen)")
+        self.init_cond_func = get_examples(cfg.init_cond)
+
+        n_dev = 1 if mesh is None else mesh.size
+        # sr^2 collocation points per iteration (reference fluid/model.py:26)
+        self.n_samples = max(1, self.sample_resolution ** 2 // n_dev)
+        # ~1% of samples on each boundary pair (fluid/model.py:94-95)
+        self.n_boundary = max((self.sample_resolution ** 2 // 100) // n_dev, 2)
+
+    @property
+    def _trainable_fields(self):
+        return {"velocity": self.fields["velocity"],
+                "pressure": self.fields["pressure"]}
+
+    # ---- shared helpers ----
+    def _velocity_bc(self, params, key):
+        """Zero normal velocity: x-component on x=±1 strips, y-component on
+        y=±1 strips (reference fluid/model.py:94-99)."""
+        kx, ky = jax.random.split(key)
+        bx = sample_boundary2D_separate(kx, self.n_boundary, "horizontal")
+        by = sample_boundary2D_separate(ky, self.n_boundary, "vertical")
+        vx = self.vel_net.apply(params, bx)[..., 0]
+        vy = self.vel_net.apply(params, by)[..., 1]
+        return (jnp.mean(vx ** 2) + jnp.mean(vy ** 2)) * 1.0
+
+    # ---- pure loss functions ----
+    def _init_loss(self, params, key, aux):
+        """MSE fit to the initial velocity (reference fluid/model.py:43-51)."""
+        x = sample_random(key, self.n_samples, 2)
+        ref = self.init_cond_func(x)
+        out = self.vel_net.apply(params, x)
+        return {"main": jnp.mean((out - ref) ** 2)}
+
+    def _advect_loss(self, params, key, aux):
+        """Semi-Lagrangian advection (reference fluid/model.py:72-101)."""
+        k1, k2 = jax.random.split(key)
+        x = sample_random(k1, self.n_samples, 2)
+        prev = aux["prev"]
+
+        u_prev = self.vel_net.apply(prev, x)
+        backtracked = jnp.clip(x - u_prev * self.dt, -1.0, 1.0)
+        advected = self.vel_net.apply(prev, backtracked)
+
+        u = self.vel_net.apply(params, x)
+        main = jnp.mean((u - advected) ** 2)
+        return {"main": main, "bc": self._velocity_bc(params, k2)}
+
+    def _pressure_loss(self, params, key, aux):
+        """Poisson residual div u = lap p (rho=1 as the reference,
+        fluid/model.py:103-125) + Neumann BC grad(p).n = 0."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = sample_random(k1, self.n_samples, 2)
+
+        vel_fn = self.vel_net.point_fn(aux["vel"])
+        p_fn = self.p_net.point_fn(params)
+
+        div_u = jax.lax.stop_gradient(divergence(vel_fn, x))
+        lap_p = laplace(p_fn, x)
+        main = jnp.mean((div_u - lap_p) ** 2)
+
+        bx = sample_boundary2D_separate(k2, self.n_boundary, "horizontal")
+        by = sample_boundary2D_separate(k3, self.n_boundary, "vertical")
+        grad_px = gradient(p_fn, bx)[..., 0]
+        grad_py = gradient(p_fn, by)[..., 1]
+        bc = jnp.mean(grad_px ** 2) + jnp.mean(grad_py ** 2)
+        return {"main": main, "bc": bc}
+
+    def _projection_loss(self, params, key, aux):
+        """u <- u_prev - grad p (reference fluid/model.py:127-151)."""
+        k1, k2 = jax.random.split(key)
+        x = sample_random(k1, self.n_samples, 2)
+
+        u_prev = self.vel_net.apply(aux["prev"], x)
+        grad_p = gradient(self.p_net.point_fn(aux["pressure"]), x)
+        target = jax.lax.stop_gradient(u_prev - grad_p)
+
+        u = self.vel_net.apply(params, x)
+        main = jnp.mean((u - target) ** 2)
+        return {"main": main, "bc": self._velocity_bc(params, k2)}
+
+    # ---- field sampling ----
+    def sample_field(self, resolution, return_samples=False):
+        """Velocity on a (res, res) uniform grid (reference
+        fluid/model.py:28-34)."""
+        grid = sample_uniform(resolution, 2, flatten=False)
+        out = self.vel_net.apply(self.fields["velocity"], grid)
+        if return_samples:
+            return out, grid
+        return out
+
+    # ---- timestep protocol ----
+    def initialize(self):
+        self.begin_timestep()
+        res = self._run_phase("initialize", self._init_loss,
+                              self.fields["velocity"], aux=None,
+                              vis_fn=self._vis_velocity)
+        self.fields["velocity"] = res.params
+        self.end_timestep()
+        return res
+
+    def step(self):
+        """Operator splitting (reference fluid/model.py:61-70): three solve
+        loops per timestep, each with a fresh Adam + scheduler."""
+        self.begin_timestep()
+
+        self.fields["velocity_prev"] = self.fields["velocity"]
+        res_a = self._run_phase("advect_velocity", self._advect_loss,
+                                self.fields["velocity"],
+                                aux={"prev": self.fields["velocity_prev"]},
+                                vis_fn=self._vis_velocity)
+        self.fields["velocity"] = res_a.params
+
+        res_p = self._run_phase("solve_pressure", self._pressure_loss,
+                                self.fields["pressure"],
+                                aux={"vel": self.fields["velocity"]})
+        self.fields["pressure"] = res_p.params
+
+        self.fields["velocity_prev"] = self.fields["velocity"]
+        res_j = self._run_phase("projection", self._projection_loss,
+                                self.fields["velocity"],
+                                aux={"prev": self.fields["velocity_prev"],
+                                     "pressure": self.fields["pressure"]},
+                                vis_fn=self._vis_velocity)
+        self.fields["velocity"] = res_j.params
+
+        self.end_timestep()
+        return res_a, res_p, res_j
+
+    # ---- visualization / output ----
+    def _vis_velocity(self, params):
+        grid = sample_uniform(min(self.vis_resolution, 64), 2, flatten=False)
+        out = self.vel_net.apply(params, grid)
+        fig = draw_vector_field2D(np.asarray(out), np.asarray(grid))
+        self.tb.add_figure("velocity", fig, global_step=self.train_step)
+
+    def write_output(self, output_folder):
+        """Quiver PNG + magnitude/curl images + raw velocity grid .npy
+        (reference fluid/model.py:207-233)."""
+        grid = sample_uniform(self.vis_resolution, 2, flatten=False)
+        grid_u = self.vel_net.apply(self.fields["velocity"], grid)
+        flat = grid.reshape(-1, 2)
+        jac = jacobian(self.vel_net.point_fn(self.fields["velocity"]), flat)
+        jac = jac.reshape(self.vis_resolution, self.vis_resolution, 2, 2)
+        u_curl = jac[..., 1, 0] - jac[..., 0, 1]
+        u_mag = jnp.sqrt(jnp.sum(grid_u ** 2, axis=-1))
+
+        grid_np = np.asarray(grid)
+        u_np = np.asarray(grid_u)
+
+        fig = draw_vector_field2D(u_np, grid_np)
+        save_figure(fig, os.path.join(output_folder,
+                                      f"t{self.timestep:03d}_vel.png"))
+        save_numpy_img(draw_magnitude(np.asarray(u_mag)),
+                       os.path.join(output_folder,
+                                    f"t{self.timestep:03d}_mag.png"))
+        save_numpy_img(draw_curl(np.asarray(u_curl)),
+                       os.path.join(output_folder,
+                                    f"t{self.timestep:03d}_curl.png"))
+        np.save(os.path.join(output_folder, f"t{self.timestep:03d}.npy"), u_np)
