@@ -83,6 +83,7 @@ class Config:
     output: str = "recap"
 
     # TPU-native additions (no reference analogue)
+    sample_resolution_init: int = 0  # 0 = reference defaults (500 2D / 100 3D)
     chunk_size: int = 250          # Adam iterations per jitted device round-trip
     n_devices: int = 0             # 0 = all local devices; 1 = single-chip
     mesh_axis: str = "data"        # collocation-sharding mesh axis name
@@ -195,6 +196,7 @@ def parse_args(argv=None, phase: str = "train") -> Config:
     p_adv.add_argument("--vel", type=float, default=0.25)
 
     p_ela.add_argument("--dim", type=int, default=2)
+    p_ela.add_argument("--sample_resolution_init", type=int, default=0)
     p_ela.add_argument("--sample_pattern", type=str, nargs="*",
                        default=["random", "uniform"])
     p_ela.add_argument("--energy", type=str, nargs="*",

@@ -1,0 +1,111 @@
+"""Dependency-free mesh readers.
+
+The reference loads tet/tri meshes through `meshio.read`
+(elasticity/model.py:75-81: `.points` + `cells_dict['tetra'|'triangle']`).
+This module provides a minimal MEDIT `.mesh` and Wavefront `.obj` reader
+returning the same (points, cells_dict) surface, as plain numpy on host —
+arrays go to device once, when the model builds its constant buffers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict
+
+import numpy as np
+
+# MEDIT section name -> (cell key, vertices per element)
+_MEDIT_CELLS = {
+    "triangles": ("triangle", 3),
+    "tetrahedra": ("tetra", 4),
+    "quadrilaterals": ("quad", 4),
+    "edges": ("line", 2),
+    "hexahedra": ("hexahedron", 8),
+}
+
+
+@dataclass
+class MeshData:
+    """Mirror of the meshio object surface used by the reference."""
+    points: np.ndarray                      # (V, 3) float64
+    cells_dict: Dict[str, np.ndarray] = field(default_factory=dict)
+
+
+def read_medit(path: str) -> MeshData:
+    """Parse an ASCII MEDIT `.mesh` file (INRIA format).
+
+    Layout: `MeshVersionFormatted`, `Dimension`, then sections
+    (`Vertices`, `Triangles`, `Tetrahedra`, ...) each followed by a count and
+    that many whitespace-separated rows; element indices are 1-based (converted
+    to 0-based here, matching what meshio hands the reference).
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+
+    i = 0
+    dim = 3
+    points = None
+    cells: Dict[str, np.ndarray] = {}
+    n_tok = len(tokens)
+    while i < n_tok:
+        word = tokens[i].lower()
+        if word == "meshversionformatted":
+            i += 2
+        elif word == "dimension":
+            dim = int(tokens[i + 1])
+            i += 2
+        elif word == "vertices":
+            count = int(tokens[i + 1])
+            i += 2
+            width = dim + 1  # coords + reference tag
+            flat = np.asarray(tokens[i:i + count * width], dtype=np.float64)
+            rows = flat.reshape(count, width)
+            pts = rows[:, :dim]
+            if dim == 2:
+                pts = np.concatenate(
+                    [pts, np.zeros((count, 1), np.float64)], axis=1)
+            points = pts
+            i += count * width
+        elif word in _MEDIT_CELLS:
+            key, nv = _MEDIT_CELLS[word]
+            count = int(tokens[i + 1])
+            i += 2
+            width = nv + 1  # indices + reference tag
+            flat = np.asarray(tokens[i:i + count * width], dtype=np.int64)
+            cells[key] = flat.reshape(count, width)[:, :nv] - 1
+            i += count * width
+        elif word == "end":
+            break
+        else:  # unknown scalar-valued section keyword; skip the keyword
+            i += 1
+    if points is None:
+        raise ValueError(f"{path}: no Vertices section")
+    return MeshData(points=points, cells_dict=cells)
+
+
+def read_obj(path: str) -> MeshData:
+    """Minimal Wavefront OBJ reader (v/f records, triangulating fans)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return MeshData(points=np.asarray(verts, np.float64),
+                    cells_dict={"triangle": np.asarray(faces, np.int64)})
+
+
+def read_mesh(path: str) -> MeshData:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mesh":
+        return read_medit(path)
+    if ext == ".obj":
+        return read_obj(path)
+    raise NotImplementedError(f"mesh format {ext!r} (have: .mesh, .obj)")

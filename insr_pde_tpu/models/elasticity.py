@@ -1,0 +1,313 @@
+"""Neo-Hookean-style elasticity via per-timestep variational optimization.
+
+TPU-native redesign of reference elasticity/model.py:15-317: the displacement
+field d(x) is a SIREN (dim -> dim); q = x + d(x); each timestep minimizes the
+incremental potential  E_arap + E_volume + E_kinematics + E_external +
+constraints/contact  over the network weights (2nd-order time scheme via the
+prev / prev_prev fields). Differences by design:
+
+  * deformation gradient F = I + jacobian(d) comes from one vmapped jacfwd
+    (the reference loops autograd per output dim, base/diff_ops.py:61-82);
+  * ARAP/volume energies use `ops.svd.singular_values` — sigma-only custom
+    JVP, finite at the rest state F = I where a full SVD pullback NaNs;
+  * mesh volume sampling (categorical tets + Dirichlet barycentrics) runs
+    entirely on-device inside the compiled solve loop — the reference bounces
+    to host numpy per iteration (torchgp/sample_volume.py:37-38);
+  * collision masks are `where`-weighted dense sums (static shapes), see
+    elast_losses.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import (area_weighted_distribution, boundary_faces, normalize,
+                        per_vertex_areas, read_mesh, sample_mesh,
+                        sample_surface, volume_weighted_distribution)
+from ..ops.diff import jacobian
+from ..ops.sampling import sample_random, sample_uniform
+from ..ops.svd import singular_values
+from ..utils.io import write_pointcloud_to_file
+from ..utils.viz import (draw_deformation_field2D, draw_deformation_field3D,
+                         save_figure)
+from .base import BaseModel
+from .elast_losses import (collision_plane_loss, collision_sphere_loss,
+                           positional_constraint_loss)
+
+_KNOWN_ENERGIES = {"arap", "volume", "kinematics", "external", "constraint",
+                   "constraint_right", "constraint_right_compress",
+                   "collision", "collision_sphere"}
+
+
+class ElasticityModel(BaseModel):
+    def __init__(self, cfg, mesh=None):
+        super().__init__(cfg, mesh)
+        self.dim = cfg.dim
+        self.net = self._create_field("deformation", self.dim, self.dim)
+        self._create_field("deformation_prev", self.dim, self.dim)
+        self._create_field("deformation_prev_prev", self.dim, self.dim)
+        # prev fields start as copies of the current one (reference
+        # elasticity/model.py:27-29)
+        self.fields["deformation_prev"] = self.fields["deformation"]
+        self.fields["deformation_prev_prev"] = self.fields["deformation"]
+        self._init_params(cfg)
+
+    # ---- static problem setup (reference elasticity/model.py:35-93) ----
+    def _init_params(self, cfg):
+        unknown = set(cfg.energy) - _KNOWN_ENERGIES
+        if unknown:
+            raise NotImplementedError(f"energy terms {sorted(unknown)}")
+        self.energy = list(cfg.energy)
+        self.use_mesh = cfg.use_mesh
+        self.sample_pattern = list(cfg.sample_pattern)
+
+        self.ratio_arap = cfg.ratio_arap
+        self.ratio_volume = cfg.ratio_volume
+        self.ratio_kinematics = cfg.ratio_kinematics
+        self.ratio_constraint = cfg.ratio_constraint
+        self.ratio_collide = cfg.ratio_collide
+        self.external_force_timesteps = cfg.external_force_timesteps
+        self.plane_height = cfg.plane_height
+        self.circle_radius = cfg.collide_circle_radius
+        self.external_force = jnp.asarray(
+            [cfg.external_force_x, cfg.external_force_y,
+             cfg.external_force_z][:self.dim], jnp.float32)
+        self.constraint_offset_right = jnp.asarray(
+            [cfg.constraint_right_offset_x, cfg.constraint_right_offset_y,
+             cfg.constraint_right_offset_z][:self.dim], jnp.float32)
+        self.circle_center = jnp.asarray(
+            [cfg.collide_circle_x, cfg.collide_circle_y,
+             cfg.collide_circle_z][:self.dim], jnp.float32)
+
+        if self.use_mesh:
+            self._init_mesh(cfg.mesh_path)
+
+        # per-iteration sample counts; collocation is device-sharded, so
+        # divide the budget by the mesh size (constants elsewhere replicate)
+        n_dev = 1 if self.mesh is None else self.mesh.size
+        self.n_random = max(1, self.sample_resolution ** self.dim // n_dev)
+        self.n_fixed = max(1, self.sample_resolution // n_dev)
+
+        # initialization-fit resolution (reference elasticity/model.py:62-70)
+        if getattr(cfg, "sample_resolution_init", 0):
+            self.sample_resolution_init = cfg.sample_resolution_init
+        elif self.use_mesh:
+            self.sample_resolution_init = self.sample_resolution
+        else:
+            self.sample_resolution_init = {2: 500, 3: 100}[self.dim]
+        self.n_random_init = max(
+            1, self.sample_resolution_init ** self.dim // n_dev)
+
+        self.sample_vis = self._sample_in_visualization(self.vis_resolution)
+
+    def _init_mesh(self, mesh_path):
+        """Load + normalize the deformable mesh to the [-2,2]-ish ball
+        (reference elasticity/model.py:75-93)."""
+        data = read_mesh(mesh_path)
+        V = jnp.asarray(data.points, jnp.float32)
+        if self.dim == 3:
+            F = np.asarray(data.cells_dict["tetra"])
+            self.mesh_SF = jnp.asarray(boundary_faces(F))
+        else:
+            F = np.asarray(data.cells_dict["triangle"])
+            self.mesh_SF = jnp.asarray(F)
+        F = jnp.asarray(F)
+        V, F = normalize(V, F)
+        V = V * 2.0
+        self.mesh_V = V[:, :self.dim]
+        self.mesh_V3 = V  # sampling ops want the raw (V, 3) coords
+        self.mesh_F = F
+        self.vertex_area = per_vertex_areas(V, F)
+        if self.dim == 3:
+            self.distrib = volume_weighted_distribution(V, F)
+        else:
+            self.distrib = area_weighted_distribution(V, F)
+
+    @property
+    def _trainable_fields(self):
+        return {"deformation": self.fields["deformation"]}
+
+    # ---- in-training samplers (pure functions of key; reference
+    #      elasticity/model.py:198-250) ----
+    def _sample_in_training(self, key, n_random):
+        parts = []
+        for s in self.sample_pattern:
+            key, sub = jax.random.split(key)
+            if s == "random":
+                if self.use_mesh:
+                    pts = sample_mesh(sub, self.mesh_V3, self.mesh_F,
+                                      n_random, self.distrib)[:, :self.dim]
+                else:
+                    pts = sample_random(sub, n_random, self.dim)
+            elif s == "uniform":
+                if self.use_mesh:
+                    pts = self.mesh_V
+                else:
+                    pts = sample_uniform(self.sample_resolution, self.dim)
+            else:
+                raise NotImplementedError(f"sample_pattern {s!r}")
+            parts.append(pts)
+        return jnp.concatenate(parts, axis=0)
+
+    def _sample_fixed_in_training(self, key):
+        """Left/right face samples (x = -1 / +1 of the box). Analytic-box
+        only, as the reference (elasticity/model.py:223-250)."""
+        if self.use_mesh:
+            return None, None
+        left, right = [], []
+        for s in self.sample_pattern:
+            key, sub = jax.random.split(key)
+            if s == "random":
+                rest = sample_random(sub, self.n_fixed, self.dim - 1)
+            elif s == "uniform":
+                rest = sample_uniform(self.sample_resolution, self.dim - 1)
+            else:
+                raise NotImplementedError(f"sample_pattern {s!r}")
+            ones = jnp.ones((rest.shape[0], 1), rest.dtype)
+            left.append(jnp.concatenate([-ones, rest], axis=1))
+            right.append(jnp.concatenate([ones, rest], axis=1))
+        return jnp.concatenate(left, 0), jnp.concatenate(right, 0)
+
+    # ---- pure loss functions ----
+    def _init_loss(self, params, key, aux):
+        """Fit displacement == 0 (reference elasticity/model.py:107-117)."""
+        x = self._sample_in_training(key, self.n_random_init)
+        out = self.net.apply(params, x)
+        return {"main": jnp.mean(out ** 2)}
+
+    def _deformation_loss(self, params, key, aux):
+        """Incremental potential (reference elasticity/model.py:127-189)."""
+        k1, k2 = jax.random.split(key)
+        x = self._sample_in_training(k1, self.n_random)
+        fixed_left, fixed_right = self._sample_fixed_in_training(k2)
+
+        q_fn = lambda xi: self.net.apply(params, xi) + xi
+        q = q_fn(x)
+        q_prev = jax.lax.stop_gradient(
+            self.net.apply(aux["prev"], x) + x)
+        q_prev_prev = jax.lax.stop_gradient(
+            self.net.apply(aux["prev_prev"], x) + x)
+
+        qdot = (q - q_prev) / self.dt
+        qdot_prev = (q_prev - q_prev_prev) / self.dt
+
+        jac = jacobian(q_fn, x)            # (N, dim, dim), F = I + grad d
+        S = singular_values(jac)           # (N, dim)
+
+        loss = jnp.asarray(0.0, jnp.float32)
+        for term in self.energy:
+            if term == "arap":
+                loss += self.ratio_arap * jnp.sum((S - 1.0) ** 2)
+            elif term == "volume":
+                loss += self.ratio_volume * jnp.sum(
+                    (jnp.prod(S, axis=1) - 1.0) ** 2)
+            elif term == "kinematics":
+                loss += self.ratio_kinematics * jnp.sum(
+                    (qdot - qdot_prev) ** 2)
+            elif term == "external":
+                # active only while timestep <= T_ext (reference :161-164)
+                active = aux["timestep"] <= self.external_force_timesteps
+                e_ext = -self.dt * jnp.sum(qdot * self.external_force)
+                loss += jnp.where(active, e_ext, 0.0)
+            elif term == "constraint":
+                d_fixed = self.net.apply(params, fixed_left)
+                loss += positional_constraint_loss(
+                    d_fixed, 0.0, self.ratio_constraint)
+            elif term == "constraint_right":
+                d_fixed = self.net.apply(params, fixed_right)
+                loss += positional_constraint_loss(
+                    d_fixed, self.constraint_offset_right,
+                    self.ratio_constraint)
+            elif term == "constraint_right_compress":
+                d_fixed = self.net.apply(params, fixed_right)
+                loss += positional_constraint_loss(
+                    d_fixed, -self.constraint_offset_right,
+                    self.ratio_constraint)
+            elif term == "collision":
+                loss += collision_plane_loss(
+                    q, qdot, self.dt, self.ratio_collide, self.plane_height)
+            elif term == "collision_sphere":
+                loss += collision_sphere_loss(
+                    q, qdot, self.dt, self.ratio_collide,
+                    self.circle_center, self.circle_radius)
+        return {"main": loss}
+
+    # ---- timestep protocol ----
+    def initialize(self):
+        self.begin_timestep()
+        res = self._run_phase("initialize", self._init_loss,
+                              self.fields["deformation"], aux=None,
+                              vis_fn=self._vis_deformation)
+        self.fields["deformation"] = res.params
+        self.fields["deformation_prev"] = res.params
+        self.fields["deformation_prev_prev"] = res.params
+        self.end_timestep()
+        return res
+
+    def step(self):
+        """Shift history then solve the incremental potential (reference
+        elasticity/model.py:120-125)."""
+        self.begin_timestep()
+        self.fields["deformation_prev_prev"] = self.fields["deformation_prev"]
+        self.fields["deformation_prev"] = self.fields["deformation"]
+        aux = {"prev": self.fields["deformation_prev"],
+               "prev_prev": self.fields["deformation_prev_prev"],
+               "timestep": jnp.asarray(self.timestep, jnp.float32)}
+        res = self._run_phase("solve_deformation", self._deformation_loss,
+                              self.fields["deformation"], aux=aux,
+                              vis_fn=self._vis_deformation)
+        self.fields["deformation"] = res.params
+        self.end_timestep()
+        return res
+
+    # ---- visualization / output (reference elasticity/model.py:255-317) ----
+    def _sample_in_visualization(self, resolution):
+        key = jax.random.PRNGKey(self.cfg.seed + 7919)
+        if self.use_mesh:
+            surf = sample_surface(key, self.mesh_V3, self.mesh_SF,
+                                  resolution)[:, :self.dim]
+            return jnp.concatenate([surf, self.mesh_V], axis=0)
+        res = min(resolution, 64) if self.dim == 3 else min(resolution, 200)
+        samples = sample_uniform(res, self.dim)
+        rest = sample_uniform(res, self.dim - 1)
+        ones = jnp.ones((rest.shape[0], 1), rest.dtype)
+        left = jnp.concatenate([-ones, rest], axis=1)
+        right = jnp.concatenate([ones, rest], axis=1)
+        return jnp.concatenate([samples, left, right], axis=0)
+
+    def sample_deformation(self, params=None):
+        if params is None:
+            params = self.fields["deformation"]
+        x = self.sample_vis
+        return self.net.apply(params, x) + x
+
+    def _vis_deformation(self, params):
+        pts = np.asarray(self.sample_deformation(params))
+        fig = self._draw(pts)
+        self.tb.add_figure("stepU", fig, global_step=self.train_step)
+
+    def _draw(self, pts):
+        color = pts.sum(axis=1)
+        sphere = ("collision_sphere" in self.energy)
+        if self.dim == 2:
+            return draw_deformation_field2D(
+                pts, color=color, plane_height=self.plane_height,
+                circle_center=self.circle_center if sphere else None,
+                circle_radius=self.circle_radius if sphere else None)
+        return draw_deformation_field3D(
+            pts, color=color, plane_height=self.plane_height,
+            sphere_center=self.circle_center if sphere else None,
+            sphere_radius=self.circle_radius if sphere else None)
+
+    def write_output(self, output_folder):
+        pts = np.asarray(self.sample_deformation())
+        fig = self._draw(pts)
+        save_figure(fig, os.path.join(
+            output_folder, f"t{self.timestep:03d}_deformation.png"))
+        write_pointcloud_to_file(
+            os.path.join(output_folder,
+                         f"t{self.timestep:03d}_deformation.ply"), pts)

@@ -1,0 +1,212 @@
+"""Random-basis-function (random-feature / ELM-style) space-time ansatz.
+
+TPU-native redesign of the reference's `Random_Basis_Function{,_L}`
+(reference: base/networks.py:128-489). The field is
+
+    u_e(x, t) = sum_{n in KNN(x,t)} sum_j  w_n(x,t) * sigmoid(z_{n,e,j}) * U[n,e,j]
+    z_{n,e,j} = A[n,e,j,:] . (x - c_n)/bw  +  tA[n,e,j] * (t - s_n)/tbw + b[n,e,j]
+
+with fixed random (A, tA, b), grid-placed space-time basis sites (c_n, s_n),
+partition-of-unity indicator weights w, and solvable coefficients U.
+
+Differences by design:
+  * derivatives are ANALYTIC: sigma' = sigma(1-sigma), so d/dx and d/dt are
+    einsums over the same gathered features — the reference differentiates
+    through torch autograd per point (base/networks.py:381-384, with the
+    Hessian left as a TODO at :382); here first AND second order are closed
+    form and fuse into the gather+einsum program;
+  * KNN is `ops.knn` (matmul + top_k) instead of pytorch3d C++ kernels;
+  * the (T, N, E, J) parameter blocks are flattened to one site axis (T*N)
+    so per-point gathers are single `take`s rather than the reference's
+    expand/gather chains (base/networks.py:354-369);
+  * everything is a pure function of a params NamedTuple -> jit/vmap/shard
+    friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.knn import knn
+
+
+@dataclass(frozen=True)
+class RBFConfig:
+    """Mirrors the reference cfg fields consumed by Random_Basis_Function_L
+    (base/networks.py:237-259 / starterL.py:9-28)."""
+    dim: int = 2
+    n_vars: int = 3            # variable_num (E)
+    n_feat: int = 16           # num_per_point_feature (J)
+    n_spatial_basis: int = 400  # N (snapped to resolution**dim)
+    time_num: int = 10         # T time slices
+    time_length: float = 1.0
+    band_width: float = 10.0
+    neighbor_k: int = 6
+    seed: int = 213421
+
+    @property
+    def spatial_resolution(self) -> int:
+        return int(round(self.n_spatial_basis ** (1.0 / self.dim)))
+
+    @property
+    def n_sites_spatial(self) -> int:
+        return self.spatial_resolution ** self.dim
+
+    @property
+    def n_sites(self) -> int:
+        return self.n_sites_spatial * self.time_num
+
+    @property
+    def time_band_width(self) -> float:
+        # time PoU support = slice spacing so each point sees its own slice
+        return self.time_length / max(self.time_num - 1, 1)
+
+    @property
+    def n_coeffs(self) -> int:
+        return self.n_sites * self.n_vars * self.n_feat
+
+
+class RBFParams(NamedTuple):
+    centers: jax.Array   # (S, dim) spatial site positions
+    times: jax.Array     # (S,)     site time coordinates
+    A: jax.Array         # (S, E, J, dim) random spatial directions
+    tA: jax.Array        # (S, E, J) random time directions
+    bias: jax.Array      # (S, E, J)
+    u: jax.Array         # (S, E, J) solvable coefficients
+
+
+def init_rbf(cfg: RBFConfig, key: jax.Array) -> RBFParams:
+    """Grid basis sites (reference generate_basis, base/networks.py:269-281)
+    + N(0,1) random features (base/networks.py:252-255)."""
+    res = cfg.spatial_resolution
+    coords = (jnp.linspace(0.5, res - 0.5, res) / res) * 2.0 - 1.0
+    grid = jnp.stack(jnp.meshgrid(*([coords] * cfg.dim), indexing="ij"),
+                     axis=-1).reshape(-1, cfg.dim)
+    ts = jnp.linspace(0.0, cfg.time_length, cfg.time_num)
+    centers = jnp.tile(grid, (cfg.time_num, 1))
+    times = jnp.repeat(ts, grid.shape[0])
+
+    S = centers.shape[0]
+    kA, kt, kb, ku = jax.random.split(key, 4)
+    shape = (S, cfg.n_vars, cfg.n_feat)
+    return RBFParams(
+        centers=centers, times=times,
+        A=jax.random.normal(kA, shape + (cfg.dim,)),
+        tA=jax.random.normal(kt, shape),
+        bias=jax.random.normal(kb, shape),
+        u=jax.random.normal(ku, shape),
+    )
+
+
+def pou_simple(x: jax.Array) -> jax.Array:
+    """Indicator partition-of-unity bump on [-1, 1] (reference PoU_simple,
+    base/networks.py:121-125)."""
+    return jnp.where((x >= -1.0) & (x <= 1.0), 1.0, 0.0)
+
+
+class PointBasis(NamedTuple):
+    """Per-query gathered basis block: everything the PDE assembly needs.
+
+    phi:  (Q, K, E, J) sigmoid features
+    dx:   (Q, K, E, J, D) d phi / d x (analytic)
+    dt:   (Q, K, E, J) d phi / d t (analytic)
+    dxx:  (Q, K, E, J, D) diagonal second derivatives (analytic; the
+          reference never implemented this — base/networks.py:382 TODO)
+    w:    (Q, K) PoU weights
+    idx:  (Q, K) site indices into the flattened site axis
+    """
+    phi: jax.Array
+    dx: jax.Array
+    dt: jax.Array
+    dxx: jax.Array
+    w: jax.Array
+    idx: jax.Array
+
+
+def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
+                idx: Optional[jax.Array] = None) -> PointBasis:
+    """Evaluate gathered features at (x (Q,dim), t (Q,)).
+
+    If idx is None, runs space-time KNN with the time axis rescaled by
+    bw/tbw so temporal and spatial distances are commensurate (reference
+    neighbor_search, base/networks.py:293-316).
+    """
+    bw, tbw = cfg.band_width, cfg.time_band_width
+    if idx is None:
+        scale = bw / tbw
+        query = jnp.concatenate([x, (t * scale)[:, None]], axis=1)
+        sites = jnp.concatenate(
+            [p.centers, (p.times * scale)[:, None]], axis=1)
+        _, idx = knn(query, sites, cfg.neighbor_k)
+
+    x_rel = (x[:, None, :] - p.centers[idx]) / bw          # (Q, K, D)
+    t_rel = (t[:, None] - p.times[idx]) / tbw              # (Q, K)
+
+    A = p.A[idx]                                           # (Q, K, E, J, D)
+    tA = p.tA[idx]                                         # (Q, K, E, J)
+    b = p.bias[idx]
+
+    z = (jnp.einsum("qkejd,qkd->qkej", A, x_rel) +
+         tA * t_rel[:, :, None, None] + b)
+    phi = jax.nn.sigmoid(z)
+    sig1 = phi * (1.0 - phi)                               # sigma'
+    sig2 = sig1 * (1.0 - 2.0 * phi)                        # sigma''
+
+    dx = sig1[..., None] * A / bw
+    dt = sig1 * tA / tbw
+    dxx = sig2[..., None] * (A / bw) ** 2
+
+    w = jnp.prod(pou_simple(x_rel), axis=-1) * pou_simple(t_rel)
+    return PointBasis(phi=phi, dx=dx, dt=dt, dxx=dxx, w=w, idx=idx)
+
+
+# ---- field evaluation against coefficients --------------------------------
+
+def field_value(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """u_e(x,t): (Q, E). Reference inference (base/networks.py:452-488)."""
+    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.phi, u[pb.idx])
+
+
+def field_grad(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """d u_e / d x: (Q, E, D)."""
+    return jnp.einsum("qk,qkejd,qkej->qed", pb.w, pb.dx, u[pb.idx])
+
+
+def field_dt(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """d u_e / d t: (Q, E)."""
+    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.dt, u[pb.idx])
+
+
+def field_lap(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """Laplacian of u_e: (Q, E) — capability the reference lacks
+    (Hessian TODO at base/networks.py:382)."""
+    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.dxx.sum(-1), u[pb.idx])
+
+
+def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
+    """Global coefficient columns for (site idx (Q,K), var e): (Q, K*J).
+
+    Coefficient layout: ((site * E) + e) * J + j — the flattened u array.
+    (Reference idx_box / expand_idx bookkeeping, base/networks.py:256,
+    vortex/model.py:270-292.)
+    """
+    E, J = cfg.n_vars, cfg.n_feat
+    base = (idx * E + var) * J                        # (Q, K)
+    return (base[:, :, None] + jnp.arange(J)[None, None, :]).reshape(
+        idx.shape[0], -1)
+
+
+# ---- dense (non-KNN) variant ----------------------------------------------
+
+def point_basis_dense(cfg: RBFConfig, p: RBFParams, x: jax.Array,
+                      t: jax.Array) -> PointBasis:
+    """All-sites variant (reference Random_Basis_Function.cal_homo,
+    base/networks.py:176-194): K = S. Use for small site counts only."""
+    S = p.centers.shape[0]
+    idx = jnp.tile(jnp.arange(S)[None, :], (x.shape[0], 1))
+    return point_basis(cfg, p, x, t, idx=idx)

@@ -1,0 +1,368 @@
+"""Space-time random-basis incompressible-flow solver ("vortex" model).
+
+TPU-native redesign of the reference fork's main addition (reference:
+vortex/model.py, starterL.py): solve a channel-flow Navier-Stokes(-like)
+system on [-1,1]^2 x [0, T_len] as ONE global least-squares problem over
+random-basis coefficients, instead of per-step SGD. Residual blocks
+(reference vortex/model.py:240-267 and :296-435):
+
+  1. momentum     rho (u.grad)u + rho du/dt + grad p = rho g   (interior, t>0)
+  2. continuity   div u = 0                                     (interior, t>0)
+  3. free-slip    u . n = 0                  (top/bottom walls, t>0)
+  4. outlet       p = 0                      (right wall, t>0)
+  5. inlet        u = (internal_v, 0)        (left wall, all t)
+  6. initial      u = 0, p = 0               (t = 0 points)
+
+Two solve paths, as the reference:
+  * `train()` — Adam on the scale-normalized nonlinear residual MSE
+    (reference train/train_step, vortex/model.py:230-267), fully jitted;
+  * `matrix_solver()` — Picard-linearized least squares: freeze the
+    advecting velocity u-bar, assemble the residuals as a PaddedSparse
+    (ELL) operator on device, solve with matrix-free CGLS, and iterate.
+    The reference assembles scipy COO on host and calls CPU
+    `sparse.linalg.lsqr` (vortex/model.py:296-478); there is no sparse LU
+    on TPU, and none is needed — the gather/segment-sum matvec IS the
+    sparse matrix. NOTE the reference's momentum assembly contracts the
+    feature values against d(features) over the variable axis
+    (einsum 'qhejd,qhej->qhdj', vortex/model.py:314) which is not the
+    PDE's (u.grad)u; this implementation linearizes the true advection
+    term around the current coefficient field instead (Picard/Oseen).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.linalg import PaddedSparse, cgls_sparse
+from ..utils.logging import MetricsWriter
+from ..utils.viz import draw_scatter2D, save_figure
+from .rbf import (RBFConfig, column_ids, field_dt, field_grad, field_value,
+                  init_rbf, point_basis)
+
+
+@dataclass
+class VortexConfig:
+    """Mirrors the reference driver's ad-hoc cfg (starterL.py:7-28)."""
+    rho: float = 1000.0
+    internal_v: float = 8.0
+    n_velocity: int = 2           # variable_list[0]
+    n_variables: int = 3          # variable_list[1] (velocities + pressure)
+    time_num: int = 10
+    collocation_pts_num: int = 1000
+    boundary_num: int = 400
+    gravity: float = 0.0
+    n_feat: int = 16              # num_per_point_feature
+    time_length: float = 1.0
+    n_spatial_basis: int = 400
+    dim: int = 2
+    band_width: float = 10.0
+    neighbor_k: int = 6
+    vis_resolution: int = 100
+    seed: int = 213421
+    log_dir: str = "./log/vortex"
+    # solver knobs (TPU-native additions)
+    cgls_maxiter: int = 2000
+    cgls_tol: float = 1e-10
+    picard_iters: int = 3
+    train_lr: float = 0.1
+
+
+class SpaceTimePoints(NamedTuple):
+    """Collocation + boundary points replicated over time slices, plus the
+    static index sets of each residual block (reference process_input /
+    num_process, vortex/model.py:207-228)."""
+    x: jax.Array          # (Q, 2)
+    t: jax.Array          # (Q,)
+    norm: jax.Array       # (Q_neu, 2) wall normals for the free-slip rows
+    inner: np.ndarray     # interior points, slices t>0
+    neu: np.ndarray       # top/bottom wall points, t>0
+    dirp: np.ndarray      # right wall (outlet) points, t>0
+    left: np.ndarray      # left wall (inlet) points, all t
+    init: np.ndarray      # slice-0 points (all but inlet)
+
+
+def build_points(cfg: VortexConfig, key: jax.Array) -> SpaceTimePoints:
+    """Point layout per slice: [collocation Nc | bottom B/4 | top B/4 |
+    right B/4 | left B/4] (reference process_boundary order,
+    vortex/model.py:168-195), replicated over `time_num` slices."""
+    eps = 1e-4
+    nc, nb = cfg.collocation_pts_num, cfg.boundary_num
+    m = nb // 4
+    k1, k2 = jax.random.split(key)
+    colloc = jax.random.uniform(k1, (nc, 2), minval=-1.0, maxval=1.0)
+
+    u = jax.random.uniform(k2, (4, m, 2))
+    lo = jnp.asarray([[-1.0, -1.0 - eps], [-1.0, 1.0 - eps],
+                      [1.0 - eps, -1.0], [-1.0 - eps, -1.0]])
+    hi = jnp.asarray([[1.0, -1.0 + eps], [1.0, 1.0 + eps],
+                      [1.0 + eps, 1.0], [-1.0 + eps, 1.0]])
+    strips = lo[:, None, :] + u * (hi - lo)[:, None, :]   # bottom/top/right/left
+    spatial = jnp.concatenate([colloc, strips.reshape(-1, 2)], axis=0)
+
+    per_slice = nc + nb
+    ts = jnp.linspace(0.0, cfg.time_length, cfg.time_num)
+    x = jnp.tile(spatial, (cfg.time_num, 1))
+    t = jnp.repeat(ts, per_slice)
+
+    ids = np.arange(cfg.time_num * per_slice).reshape(cfg.time_num, per_slice)
+    inner = ids[1:, :nc].reshape(-1)
+    neu = ids[1:, nc:nc + 2 * m].reshape(-1)
+    dirp = ids[1:, nc + 2 * m:nc + 3 * m].reshape(-1)
+    left = ids[:, nc + 3 * m:].reshape(-1)
+    init = ids[0, :nc + 3 * m]
+
+    norm_slice = jnp.concatenate(
+        [jnp.tile(jnp.asarray([[0.0, 1.0]]), (m, 1)),     # bottom wall
+         jnp.tile(jnp.asarray([[0.0, -1.0]]), (m, 1))],   # top wall
+        axis=0)
+    norm = jnp.tile(norm_slice, (cfg.time_num - 1, 1))
+    return SpaceTimePoints(x=x, t=t, norm=norm, inner=inner, neu=neu,
+                           dirp=dirp, left=left, init=init)
+
+
+def _scaled_mse(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
+    """mean((lhs-rhs)^2) / max|lhs|, zero-guarded (reference mse_loss,
+    vortex/model.py:215-220)."""
+    max_x = jnp.max(jnp.abs(lhs))
+    mse = jnp.mean((lhs - rhs) ** 2)
+    return jnp.where(max_x > 0, mse / jnp.maximum(max_x, 1e-30), 0.0)
+
+
+class VortexModel:
+    """Both solver paths over one shared geometry/basis setup."""
+
+    def __init__(self, cfg: VortexConfig, log: bool = True):
+        self.cfg = cfg
+        self.rbf_cfg = RBFConfig(
+            dim=cfg.dim, n_vars=cfg.n_variables, n_feat=cfg.n_feat,
+            n_spatial_basis=cfg.n_spatial_basis, time_num=cfg.time_num,
+            time_length=cfg.time_length, band_width=cfg.band_width,
+            neighbor_k=cfg.neighbor_k, seed=cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+        k_basis, k_pts = jax.random.split(key)
+        self.params = init_rbf(self.rbf_cfg, k_basis)
+        self.pts = build_points(cfg, k_pts)
+        # gathered basis features at all residual points (static geometry ->
+        # computed once, reused by every solve iteration)
+        self.pb = jax.jit(partial(point_basis, self.rbf_cfg))(
+            self.params, self.pts.x, self.pts.t)
+        self.tb = MetricsWriter(cfg.log_dir) if log else None
+        self.opt = optax.adam(cfg.train_lr)
+        self.opt_state = self.opt.init(self.params.u)
+        self._step = 0
+
+    # ---------------- gradient-descent path (reference train/train_step,
+    #                  vortex/model.py:230-267) ----------------
+    def residual_loss(self, u: jax.Array) -> jax.Array:
+        cfg, pts, pb = self.cfg, self.pts, self.pb
+        Eu = cfg.n_velocity
+        val = field_value(pb, u)           # (Q, E)
+        grad = field_grad(pb, u)           # (Q, E, D)
+        dt = field_dt(pb, u)               # (Q, E)
+
+        uin = val[pts.inner, :Eu]
+        # momentum: rho (u.grad)u + rho du/dt + grad p - rho g
+        adv = jnp.einsum("qed,qd->qe", grad[pts.inner, :Eu], uin)
+        lhs1 = (cfg.rho * adv + cfg.rho * dt[pts.inner, :Eu]
+                + grad[pts.inner, Eu, :])
+        rhs1 = jnp.full_like(lhs1, cfg.gravity * cfg.rho)
+        # continuity
+        lhs2 = jnp.trace(grad[pts.inner, :Eu, :], axis1=-2, axis2=-1)[:, None]
+        # free-slip walls: u . n = 0
+        lhs3 = jnp.einsum("qe,qe->q", val[pts.neu, :Eu], pts.norm)
+        # outlet pressure
+        lhs4 = val[pts.dirp, Eu]
+        # inlet velocity
+        lhs5 = val[pts.left, :Eu]
+        rhs5 = jnp.stack(
+            [jnp.full(lhs5.shape[0], cfg.internal_v),
+             jnp.zeros(lhs5.shape[0])], axis=1)
+        # initial condition
+        lhs6 = val[pts.init]
+
+        return (_scaled_mse(lhs1, rhs1) + _scaled_mse(lhs2, 0.0)
+                + _scaled_mse(lhs3, 0.0) + _scaled_mse(lhs4, 0.0)
+                + _scaled_mse(lhs5, rhs5) + _scaled_mse(lhs6, 0.0))
+
+    def train(self, n_iters: int = 1):
+        """Adam on the coefficient tensor (the only trainable leaf)."""
+        @jax.jit
+        def step(u, opt_state):
+            loss, g = jax.value_and_grad(self.residual_loss)(u)
+            updates, opt_state = self.opt.update(g, opt_state, u)
+            return optax.apply_updates(u, updates), opt_state, loss
+
+        u, opt_state = self.params.u, self.opt_state
+        loss = jnp.inf
+        for _ in range(n_iters):
+            u, opt_state, loss = step(u, opt_state)
+            if self.tb is not None:
+                self.tb.add_scalars("vortex_train",
+                                    {"loss": float(loss)}, self._step)
+            self._step += 1
+        self.params = self.params._replace(u=u)
+        self.opt_state = opt_state
+        return float(loss)
+
+    # ---------------- linear least-squares path (reference matrix_solver /
+    #                  sparse_matrix_recon, vortex/model.py:296-478) --------
+    def assemble(self, ubar: jax.Array) -> tuple[PaddedSparse, jax.Array]:
+        """Build the Picard-linearized system rows as a PaddedSparse op.
+
+        Row layout per block; each row's nonzeros are the K*J columns of the
+        variables it touches, padded to 2*K*J. Per-block rows and RHS are
+        max-|val| normalized, matching the reference's per-block scaling
+        (vortex/model.py:403-410).
+        """
+        cfg, pts, pb = self.cfg, self.pts, self.pb
+        rcfg = self.rbf_cfg
+        Eu = cfg.n_velocity
+        K, J = cfg.neighbor_k, cfg.n_feat
+        KJ = K * J
+        nnz = 2 * KJ
+
+        val_bar = field_value(pb, ubar)
+
+        rows_vals, rows_cols, rhs_list = [], [], []
+
+        def add_block(vals, cols, rhs):
+            # vals/cols: (R, nnz_block); pad to nnz
+            pad = nnz - vals.shape[1]
+            if pad > 0:
+                vals = jnp.pad(vals, ((0, 0), (0, pad)))
+                cols = jnp.pad(cols, ((0, 0), (0, pad)))
+            scale = jnp.maximum(jnp.max(jnp.abs(vals)), 1e-30)
+            rows_vals.append(vals / scale)
+            rows_cols.append(cols)
+            rhs_list.append(rhs / scale)
+
+        def gather(ids):
+            return jax.tree_util.tree_map(lambda a: a[ids], pb)
+
+        # -- momentum rows: one per (interior point, velocity component d)
+        pbi = gather(pts.inner)
+        ub = val_bar[pts.inner, :Eu]                        # (Qi, Eu)
+        for d in range(Eu):
+            # var-d columns: rho * ((ubar . grad) phi + dphi/dt)
+            conv = jnp.einsum("qkjd,qd->qkj", pbi.dx[:, :, d, :, :], ub)
+            v_d = (cfg.rho * (conv + pbi.dt[:, :, d, :])
+                   * pbi.w[:, :, None]).reshape(-1, KJ)
+            c_d = column_ids(rcfg, pbi.idx, d)
+            # pressure columns: d phi_p / d x_d
+            v_p = (pbi.dx[:, :, Eu, :, d] * pbi.w[:, :, None]).reshape(-1, KJ)
+            c_p = column_ids(rcfg, pbi.idx, Eu)
+            vals = jnp.concatenate([v_d, v_p], axis=1)
+            cols = jnp.concatenate([c_d, c_p], axis=1)
+            rhs = jnp.full((vals.shape[0],), cfg.gravity * cfg.rho)
+            add_block(vals, cols, rhs)
+
+        # -- continuity rows: sum_d d phi_d / d x_d
+        v0 = (pbi.dx[:, :, 0, :, 0] * pbi.w[:, :, None]).reshape(-1, KJ)
+        v1 = (pbi.dx[:, :, 1, :, 1] * pbi.w[:, :, None]).reshape(-1, KJ)
+        add_block(jnp.concatenate([v0, v1], axis=1),
+                  jnp.concatenate([column_ids(rcfg, pbi.idx, 0),
+                                   column_ids(rcfg, pbi.idx, 1)], axis=1),
+                  jnp.zeros(v0.shape[0]))
+
+        # -- free-slip rows: u . n
+        pbn = gather(pts.neu)
+        vals = jnp.concatenate(
+            [(pbn.phi[:, :, e, :] * pbn.w[:, :, None]
+              * pts.norm[:, e][:, None, None]).reshape(-1, KJ)
+             for e in range(Eu)], axis=1)
+        cols = jnp.concatenate(
+            [column_ids(rcfg, pbn.idx, e) for e in range(Eu)], axis=1)
+        add_block(vals, cols, jnp.zeros(vals.shape[0]))
+
+        # -- outlet pressure rows: p = 0
+        pbd = gather(pts.dirp)
+        add_block((pbd.phi[:, :, Eu, :] * pbd.w[:, :, None]).reshape(-1, KJ),
+                  column_ids(rcfg, pbd.idx, Eu),
+                  jnp.zeros(len(pts.dirp)))
+
+        # -- inlet rows: u_e = (v_in, 0)
+        pbl = gather(pts.left)
+        for e in range(Eu):
+            add_block(
+                (pbl.phi[:, :, e, :] * pbl.w[:, :, None]).reshape(-1, KJ),
+                column_ids(rcfg, pbl.idx, e),
+                jnp.full((len(pts.left),),
+                         cfg.internal_v if e == 0 else 0.0))
+
+        # -- initial rows: all variables zero at t=0
+        pb0 = gather(pts.init)
+        for e in range(cfg.n_variables):
+            add_block(
+                (pb0.phi[:, :, e, :] * pb0.w[:, :, None]).reshape(-1, KJ),
+                column_ids(rcfg, pb0.idx, e),
+                jnp.zeros(len(pts.init)))
+
+        A = PaddedSparse(vals=jnp.concatenate(rows_vals, axis=0),
+                         cols=jnp.concatenate(rows_cols, axis=0),
+                         n_cols=rcfg.n_coeffs)
+        return A, jnp.concatenate(rhs_list, axis=0)
+
+    def matrix_solver(self):
+        """Picard loop: assemble around the current coefficients, CGLS-solve
+        the linear system, repeat (reference matrix_solver,
+        vortex/model.py:445-478, one lsqr pass)."""
+        cfg = self.cfg
+
+        @jax.jit
+        def one_pass(u_flat):
+            A, b = self.assemble(u_flat.reshape(self.params.u.shape))
+            x, info = cgls_sparse(A, b, u_flat.reshape(-1) * 0.0,
+                                  maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol)
+            res = jnp.linalg.norm(A.mv(x) - b)
+            return x, res, info["niter"]
+
+        u_flat = self.params.u.reshape(-1)
+        for it in range(cfg.picard_iters):
+            u_flat, res, niter = one_pass(u_flat)
+            if self.tb is not None:
+                self.tb.add_scalars(
+                    "vortex_matrix",
+                    {"residual": float(res), "cgls_iters": int(niter)}, it)
+        self.params = self.params._replace(
+            u=u_flat.reshape(self.params.u.shape))
+        return float(res)
+
+    # ---------------- evaluation / outputs ----------------
+    def sample_field(self, resolution: int):
+        """Velocity/pressure on a uniform grid per time slice:
+        returns (values (T, r*r, E), coords (r*r, 2))."""
+        r = resolution
+        coords = (jnp.linspace(0.5, r - 0.5, r) / r) * 2.0 - 1.0
+        grid = jnp.stack(jnp.meshgrid(coords, coords, indexing="ij"),
+                         axis=-1).reshape(-1, 2)
+        ts = jnp.linspace(0.0, self.cfg.time_length, self.cfg.time_num)
+
+        @jax.jit
+        def eval_slice(t):
+            pb = point_basis(self.rbf_cfg, self.params, grid,
+                             jnp.full(grid.shape[0], t))
+            return field_value(pb, self.params.u)
+
+        vals = jnp.stack([eval_slice(t) for t in ts])
+        return vals, grid
+
+    def write_output(self, output_folder: str, resolution: int = 0):
+        os.makedirs(output_folder, exist_ok=True)
+        res = resolution or self.cfg.vis_resolution
+        vals, grid = self.sample_field(res)
+        vals, grid = np.asarray(vals), np.asarray(grid)
+        Eu = self.cfg.n_velocity
+        for i in range(vals.shape[0]):
+            speed = np.linalg.norm(vals[i, :, :Eu], axis=-1)
+            fig = draw_scatter2D(grid, speed)
+            save_figure(fig, os.path.join(output_folder,
+                                          f"slice{i:02d}_speed.png"))
+        np.save(os.path.join(output_folder, "field.npy"), vals)

@@ -11,3 +11,4 @@ from .diff import (  # noqa: F401
     jacobian,
     hessian,
 )
+from .svd import singular_values  # noqa: F401

@@ -1,0 +1,201 @@
+"""Matrix-free iterative linear algebra (batched PCG, CGLS, sparse ops).
+
+TPU-native replacements for the reference's three linear-solver backends
+(SURVEY.md §2.13):
+  * `cg_batch` — batched preconditioned conjugate gradient (reference:
+    vortex/cg_batch.py:5-116), here a `lax.while_loop` so the whole solve is
+    one XLA program; the `CG` autograd wrapper (cg_batch.py:119-137) becomes
+    a `jax.custom_vjp` whose backward pass is CG against the same operator.
+  * `cgls` — conjugate gradient on the normal equations in factored form,
+    the TPU replacement for scipy `sparse.linalg.lsqr` (reference:
+    vortex/model.py:465) and for the CuPy sparse LU (vortex/sparse_solver.py:
+    26-83): direct sparse factorization does not exist on TPU, and CGLS is
+    mathematically equivalent to LSQR in exact arithmetic.
+  * `PaddedSparse` — an ELL-style padded-row sparse operator (fixed nnz per
+    row): `A @ v` is a gather + row dot, `A.T @ u` a segment-sum. This is the
+    matrix the RBF solver assembles (reference builds scipy COO->CSR on host,
+    vortex/model.py:403-433; here assembly and solve stay on device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# --------------------------------------------------------------- cg_batch
+
+
+def cg_batch(A_bmm: Callable, B: jax.Array, M_bmm: Optional[Callable] = None,
+             X0: Optional[jax.Array] = None, rtol: float = 1e-3,
+             atol: float = 0.0, maxiter: Optional[int] = None):
+    """Solve a batch of SPD systems A_i X_i = B_i, B: (K, n, m).
+
+    Matches the reference semantics (vortex/cg_batch.py:5-116): stopping when
+    per-batch residual norms fall under max(rtol*|B|, atol); fixed-point
+    iterates freeze once converged (the while_loop runs until all batches
+    converge or maxiter).
+    Returns (X, info dict with 'niter', 'optimal').
+    """
+    K, n, m = B.shape
+    if M_bmm is None:
+        M_bmm = lambda x: x
+    if X0 is None:
+        X0 = M_bmm(B)
+    if maxiter is None:
+        maxiter = 5 * n
+
+    stop = jnp.maximum(rtol * jnp.linalg.norm(B, axis=1), atol)  # (K, m)
+
+    def res_ok(X):
+        r = jnp.linalg.norm(A_bmm(X) - B, axis=1)
+        return jnp.all(r <= stop)
+
+    class _State(NamedTuple):
+        X: jax.Array
+        R: jax.Array
+        rz: jax.Array      # <R, Z> of current iterate
+        P: jax.Array
+        k: jax.Array
+        done: jax.Array
+
+    R0 = B - A_bmm(X0)
+    Z0 = M_bmm(R0)
+    rz0 = jnp.sum(R0 * Z0, axis=1, keepdims=True)
+    state0 = _State(X0, R0, rz0, Z0,
+                    jnp.asarray(0, jnp.int32), res_ok(X0))
+
+    def cond(s: _State):
+        return (~s.done) & (s.k < maxiter)
+
+    def step(s: _State):
+        AP = A_bmm(s.P)
+        denom = jnp.sum(s.P * AP, axis=1, keepdims=True)
+        denom = jnp.where(denom == 0, 1e-8, denom)
+        alpha = s.rz / denom
+        X = s.X + alpha * s.P
+        R = s.R - alpha * AP
+        Z = M_bmm(R)
+        rz_new = jnp.sum(R * Z, axis=1, keepdims=True)
+        beta = rz_new / jnp.where(s.rz == 0, 1e-8, s.rz)
+        P = Z + beta * s.P
+        return _State(X, R, rz_new, P, s.k + 1, res_ok(X))
+
+    final = jax.lax.while_loop(cond, step, state0)
+    return final.X, {"niter": final.k, "optimal": final.done}
+
+
+def cg_solve(A_bmm: Callable, B: jax.Array, **kw) -> jax.Array:
+    """Differentiable batched CG: backward pass solves A dX = dB with the
+    same operator (reference CG autograd Function, vortex/cg_batch.py:119-137).
+    A_bmm must be symmetric positive definite and is treated as constant."""
+
+    @jax.custom_vjp
+    def solve(B):
+        return cg_batch(A_bmm, B, **kw)[0]
+
+    def fwd(B):
+        X = solve(B)
+        return X, None
+
+    def bwd(_, dX):
+        dB = cg_batch(A_bmm, dX, **kw)[0]
+        return (dB,)
+
+    solve.defvjp(fwd, bwd)
+    return solve(B)
+
+
+# ------------------------------------------------------------------ CGLS
+
+
+def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
+         maxiter: int = 500, tol: float = 1e-8):
+    """Least-squares min_x |A x - b|_2 via CGLS (CG on AᵀA in factored form;
+    LSQR-equivalent in exact arithmetic, and the numerically recommended
+    form of the normal equations).
+
+    A_mv: x -> A @ x (rows space), At_mv: r -> Aᵀ @ r (cols space).
+    Returns (x, info dict with 'niter', 'resnorm' |Aᵀ(Ax-b)|).
+    """
+    r0 = b - A_mv(x0)
+    s0 = At_mv(r0)
+    gamma0 = jnp.sum(s0 * s0)
+    stop2 = (tol ** 2) * gamma0
+
+    class _State(NamedTuple):
+        x: jax.Array
+        r: jax.Array
+        p: jax.Array
+        gamma: jax.Array
+        k: jax.Array
+
+    def cond(st: _State):
+        return (st.gamma > stop2) & (st.k < maxiter)
+
+    def step(st: _State):
+        q = A_mv(st.p)
+        denom = jnp.sum(q * q)
+        alpha = st.gamma / jnp.where(denom == 0, 1e-30, denom)
+        x = st.x + alpha * st.p
+        r = st.r - alpha * q
+        s = At_mv(r)
+        gamma_new = jnp.sum(s * s)
+        beta = gamma_new / jnp.where(st.gamma == 0, 1e-30, st.gamma)
+        p = s + beta * st.p
+        return _State(x, r, p, gamma_new, st.k + 1)
+
+    st = jax.lax.while_loop(
+        cond, step, _State(x0, r0, s0, gamma0, jnp.asarray(0, jnp.int32)))
+    return st.x, {"niter": st.k, "resnorm": jnp.sqrt(st.gamma)}
+
+
+# --------------------------------------------------------------- sparse op
+
+
+class PaddedSparse(NamedTuple):
+    """ELL-style padded-row sparse matrix: fixed nnz per row.
+
+    vals: (R, nnz) f32; cols: (R, nnz) int32 (padding: val=0, col=0);
+    n_cols: static int.
+    """
+    vals: jax.Array
+    cols: jax.Array
+    n_cols: int
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        """A @ x: gather + row-wise dot, (R,)."""
+        return jnp.sum(self.vals * x[self.cols], axis=-1)
+
+    def rmv(self, r: jax.Array) -> jax.Array:
+        """Aᵀ @ r: scatter-add over columns, (n_cols,)."""
+        contrib = (self.vals * r[:, None]).reshape(-1)
+        return jax.ops.segment_sum(contrib, self.cols.reshape(-1),
+                                   num_segments=self.n_cols)
+
+    def col_norms(self) -> jax.Array:
+        """Column 2-norms (for Jacobi right-preconditioning). Exact when each
+        row references a column at most once — true for the RBF assembly,
+        where a row's columns are (distinct KNN site, var, feature)."""
+        return jnp.sqrt(jax.ops.segment_sum(
+            (self.vals ** 2).reshape(-1), self.cols.reshape(-1),
+            num_segments=self.n_cols))
+
+
+def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
+                maxiter: int = 500, tol: float = 1e-8,
+                precondition: bool = True):
+    """CGLS on a PaddedSparse operator with optional Jacobi column scaling
+    (solves min |A D y - b|, x = D y, D = 1/col_norm) — the role of the
+    reference's per-block max-normalization (vortex/model.py:403-410), done
+    properly per column."""
+    if precondition:
+        d = A.col_norms()
+        d = jnp.where(d > 1e-12, 1.0 / d, 0.0)
+        x, info = cgls(lambda y: A.mv(d * y), lambda r: d * A.rmv(r),
+                       b, x0 / jnp.where(d == 0, 1.0, d),
+                       maxiter=maxiter, tol=tol)
+        return d * x, info
+    return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol)

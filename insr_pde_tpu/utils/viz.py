@@ -64,6 +64,19 @@ def draw_curl(curl):
     return (img * 255).astype(np.uint8)
 
 
+def draw_scatter2D(coords, values, cmap="viridis", s=2.0):
+    """Colored point scatter (reference vortex/visualize.py
+    draw_vector_field2D renders speed as a scatter)."""
+    coords = np.asarray(coords).reshape(-1, 2)
+    values = np.asarray(values).reshape(-1)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    sc = ax.scatter(coords[:, 0], coords[:, 1], c=values, cmap=cmap, s=s)
+    fig.colorbar(sc, ax=ax)
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    return fig
+
+
 def save_numpy_img(img, path):
     try:
         from PIL import Image

@@ -1,0 +1,50 @@
+"""Vortex space-time RBF solver driver.
+
+Reference parity: starterL.py:1-36 — same hyperparameters (rho=1000,
+inlet velocity 8, 10 time slices, 1000 collocation + 400 boundary points,
+400 spatial basis x 16 features, K=6 KNN, seed 213421), driving the
+linear least-squares path and writing per-slice visualizations.
+"""
+
+import argparse
+
+from insr_pde_tpu.models.vortex import VortexConfig, VortexModel
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("starterL")
+    ap.add_argument("--output_path", type=str, default="./results/vortex")
+    ap.add_argument("--log_dir", type=str, default="./log/vortex")
+    ap.add_argument("--n_rounds", type=int, default=1,
+                    help="outer rounds of matrix_solver + vis (the reference "
+                         "loops forever, starterL.py:31-36)")
+    ap.add_argument("--mode", choices=["matrix", "train"], default="matrix")
+    ap.add_argument("--train_iters", type=int, default=200)
+    ap.add_argument("--collocation", type=int, default=1000)
+    ap.add_argument("--boundary", type=int, default=400)
+    ap.add_argument("--time_num", type=int, default=10)
+    ap.add_argument("--n_spatial_basis", type=int, default=400)
+    ap.add_argument("--picard_iters", type=int, default=3)
+    ap.add_argument("--cgls_maxiter", type=int, default=2000)
+    args = ap.parse_args(argv)
+
+    cfg = VortexConfig(
+        collocation_pts_num=args.collocation, boundary_num=args.boundary,
+        time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
+        picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
+        log_dir=args.log_dir)
+    model = VortexModel(cfg)
+
+    for r in range(args.n_rounds):
+        print(f"round: {r}")
+        if args.mode == "matrix":
+            res = model.matrix_solver()
+            print(f"  lstsq residual: {res:.4e}")
+        else:
+            loss = model.train(args.train_iters)
+            print(f"  train loss: {loss:.4e}")
+        model.write_output(args.output_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Elasticity model + singular-values + contact-loss tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insr_pde_tpu.config import Config
+from insr_pde_tpu.models.elast_losses import (collision_plane_loss,
+                                              collision_sphere_loss,
+                                              positional_constraint_loss)
+from insr_pde_tpu.ops.svd import singular_values
+
+
+# ---------------------------------------------------------------- svd op
+
+def test_singular_values_match_numpy():
+    key = jax.random.PRNGKey(0)
+    for d in (2, 3):
+        F = jax.random.normal(key, (32, d, d))
+        s = np.asarray(singular_values(F))
+        s_ref = np.linalg.svd(np.asarray(F), compute_uv=False)
+        assert np.allclose(s, s_ref, atol=1e-5)
+
+
+def test_singular_values_grad_finite_at_identity():
+    """The rest state F = I (all sigma equal) must have finite gradients —
+    this is where a naive SVD pullback NaNs."""
+    for d in (2, 3):
+        F = jnp.eye(d)[None].repeat(4, axis=0)
+
+        def energy(F):
+            s = singular_values(F)
+            return jnp.sum((s - 1.0) ** 2) + jnp.sum(
+                (jnp.prod(s, axis=-1) - 1.0) ** 2)
+
+        g = jax.grad(energy)(F)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) < 1e-6  # rest state = equilibrium
+
+
+def test_singular_values_grad_matches_fd():
+    key = jax.random.PRNGKey(3)
+    F = jnp.eye(2)[None] + 0.3 * jax.random.normal(key, (1, 2, 2))
+
+    def energy(F):
+        return jnp.sum((singular_values(F) - 1.0) ** 2)
+
+    g = jax.grad(energy)(F)
+    eps = 1e-4
+    for i in range(2):
+        for j in range(2):
+            dF = jnp.zeros_like(F).at[0, i, j].set(eps)
+            fd = (energy(F + dF) - energy(F - dF)) / (2 * eps)
+            assert np.isclose(float(g[0, i, j]), float(fd), atol=1e-2)
+
+
+# ------------------------------------------------------------- losses
+
+def test_collision_plane_masked_equivalence():
+    q = jnp.asarray([[0.0, -3.0], [0.0, 1.0], [0.5, -2.5]])
+    qdot = jnp.ones_like(q)
+    val = collision_plane_loss(q, qdot, 0.1, 10.0, -2.0)
+    # only rows 0 and 2 penetrate; force = ratio * depth on last coord
+    expected = -0.1 * (10.0 * 1.0 * 1.0 + 10.0 * 0.5 * 1.0)
+    assert np.isclose(float(val), expected, rtol=1e-6)
+
+
+def test_collision_sphere_masked_equivalence():
+    center = jnp.zeros(2)
+    q = jnp.asarray([[0.5, 0.0], [3.0, 0.0]])
+    qdot = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    val = collision_sphere_loss(q, qdot, 0.1, 2.0, center, 1.0)
+    # only the first point is inside; force = ratio * dist * dir = 2*0.5*(1,0)
+    assert np.isclose(float(val), -0.1 * (2.0 * 0.5), rtol=1e-6)
+
+
+def test_positional_constraint():
+    q = jnp.ones((4, 2))
+    assert np.isclose(float(positional_constraint_loss(q, 0.0, 3.0)),
+                      3.0 * 8.0)
+
+
+# ------------------------------------------------------------- model
+
+def _tiny_cfg(tmp, **kw):
+    base = dict(
+        pde="elasticity", proj_dir=str(tmp), tag="ela", dim=2,
+        num_hidden_layers=2, hidden_features=16, sample_resolution=4,
+        sample_resolution_init=4, vis_resolution=8, max_n_iters=20,
+        chunk_size=10, early_stop=False, dt=0.1, backup_sources=False,
+        energy=["arap", "kinematics", "external", "volume"],
+        external_force_y=-100.0, external_force_timesteps=2,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_elasticity_2d_box_smoke(tmp_path):
+    from insr_pde_tpu.models.elasticity import ElasticityModel
+    cfg = _tiny_cfg(tmp_path)
+    cfg.setup_dirs()
+    model = ElasticityModel(cfg)
+    res0 = model.initialize()
+    assert np.isfinite(res0.final_loss)
+    res1 = model.step()
+    assert np.isfinite(res1.final_loss)
+    out = tmp_path / "out"
+    os.makedirs(out, exist_ok=True)
+    model.write_output(str(out))
+    assert (out / "t001_deformation.ply").exists()
+    assert (out / "t001_deformation.png").exists()
+
+
+def test_elasticity_init_drives_displacement_to_zero(tmp_path):
+    from insr_pde_tpu.models.elasticity import ElasticityModel
+    cfg = _tiny_cfg(tmp_path, max_n_iters=400, chunk_size=200, lr=1e-3)
+    cfg.setup_dirs()
+    model = ElasticityModel(cfg)
+    res = model.initialize()
+    assert res.final_loss < 1e-3
+
+
+def test_elasticity_3d_mesh_smoke(tmp_path):
+    from insr_pde_tpu.geometry import box_tet_mesh, boundary_faces
+    from insr_pde_tpu.models.elasticity import ElasticityModel
+
+    V, T = box_tet_mesh(2)
+    SF = boundary_faces(T)
+    path = tmp_path / "box.mesh"
+    with open(path, "w") as f:
+        f.write(f"MeshVersionFormatted 1\nDimension 3\nVertices\n{len(V)}\n")
+        for v in V:
+            f.write(f"{v[0]} {v[1]} {v[2]} 1\n")
+        f.write(f"Tetrahedra\n{len(T)}\n")
+        for t in T:
+            f.write(f"{t[0]+1} {t[1]+1} {t[2]+1} {t[3]+1} 1\n")
+        f.write("End\n")
+
+    cfg = _tiny_cfg(
+        tmp_path, dim=3, use_mesh=True, mesh_path=str(path),
+        sample_resolution=2, sample_resolution_init=2,
+        energy=["arap", "kinematics", "collision", "external", "volume"],
+        external_force_z=-100.0, plane_height=-2.0,
+    )
+    cfg.setup_dirs()
+    model = ElasticityModel(cfg)
+    res0 = model.initialize()
+    res1 = model.step()
+    assert np.isfinite(res0.final_loss) and np.isfinite(res1.final_loss)
+
+
+def test_elasticity_constraint_stretch_moves_right_side(tmp_path):
+    """Mini version of elasticity2Dstretch: right side constrained to +x
+    offset — after a solve, displacement at x=+1 should move toward it."""
+    from insr_pde_tpu.models.elasticity import ElasticityModel
+    cfg = _tiny_cfg(
+        tmp_path, max_n_iters=600, chunk_size=200, lr=5e-4,
+        energy=["arap", "constraint", "constraint_right", "volume"],
+        ratio_constraint=1e3, ratio_arap=1.0, ratio_volume=10.0,
+        constraint_right_offset_x=1.0, n_timesteps=1,
+    )
+    cfg.setup_dirs()
+    model = ElasticityModel(cfg)
+    model.initialize()
+    model.step()
+    right = jnp.concatenate(
+        [jnp.ones((32, 1)),
+         jax.random.uniform(jax.random.PRNGKey(0), (32, 1), minval=-1.0,
+                            maxval=1.0)], axis=1)
+    d = model.net.apply(model.fields["deformation"], right)
+    assert float(jnp.mean(d[:, 0])) > 0.3  # pulled toward +1 offset
+    left = jnp.concatenate([-jnp.ones((32, 1)), right[:, 1:]], axis=1)
+    d_left = model.net.apply(model.fields["deformation"], left)
+    assert float(jnp.mean(jnp.abs(d_left[:, 0]))) < 0.2  # pinned

@@ -1,0 +1,108 @@
+"""KNN + iterative solver + padded-sparse operator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from insr_pde_tpu.ops.knn import knn, knn_gather
+from insr_pde_tpu.ops.linalg import (PaddedSparse, cg_batch, cg_solve, cgls,
+                                     cgls_sparse)
+
+
+def test_knn_matches_bruteforce_numpy():
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (37, 3))
+    p = jax.random.normal(jax.random.PRNGKey(1), (211, 3))
+    d, idx = knn(q, p, 5)
+    d_np = ((np.asarray(q)[:, None, :] - np.asarray(p)[None]) ** 2).sum(-1)
+    idx_np = np.argsort(d_np, axis=1)[:, :5]
+    # compare distance sets (ties may permute indices)
+    assert np.allclose(np.sort(np.asarray(d), axis=1),
+                       np.sort(np.take_along_axis(d_np, idx_np, 1), axis=1),
+                       atol=1e-4)
+    assert np.array_equal(np.sort(np.asarray(idx), 1), np.sort(idx_np, 1))
+
+
+def test_knn_gather():
+    p = jnp.arange(12.0).reshape(6, 2)
+    idx = jnp.asarray([[0, 5], [2, 1]])
+    g = knn_gather(p, idx)
+    assert g.shape == (2, 2, 2)
+    assert np.allclose(g[0, 1], p[5])
+
+
+def test_cg_batch_solves_spd():
+    key = jax.random.PRNGKey(2)
+    n, k = 24, 3
+    M = jax.random.normal(key, (k, n, n))
+    A = jnp.einsum("kij,klj->kil", M, M) + 10 * jnp.eye(n)
+    B = jax.random.normal(jax.random.PRNGKey(3), (k, n, 2))
+    X, info = cg_batch(lambda x: A @ x, B, rtol=1e-4, maxiter=300)
+    assert np.allclose(np.asarray(A @ X), np.asarray(B), atol=1e-3)
+    assert bool(info["optimal"])
+
+
+def test_cg_solve_gradient():
+    """Backward of x = A^-1 b is A^-1 (A symmetric)."""
+    n = 8
+    M = jax.random.normal(jax.random.PRNGKey(4), (1, n, n))
+    A = jnp.einsum("kij,klj->kil", M, M) + 5 * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(5), (1, n, 1))
+
+    def f(b):
+        return jnp.sum(cg_solve(lambda x: A @ x, b, rtol=1e-8, maxiter=200))
+
+    g = jax.grad(f)(b)
+    expected = jnp.linalg.solve(A, jnp.ones((1, n, 1)))
+    assert np.allclose(np.asarray(g), np.asarray(expected), atol=1e-4)
+
+
+def test_cgls_least_squares():
+    """Overdetermined dense system: CGLS solution == lstsq solution."""
+    A = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (40, 12)))
+    b = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (40,)))
+    Aj = jnp.asarray(A)
+    x, info = cgls(lambda v: Aj @ v, lambda r: Aj.T @ r, jnp.asarray(b),
+                   jnp.zeros(12), maxiter=200, tol=1e-12)
+    x_ref = np.linalg.lstsq(A, b, rcond=None)[0]
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-4)
+
+
+def _random_padded_sparse(key, R, C, nnz):
+    kv, kc = jax.random.split(key)
+    vals = jax.random.normal(kv, (R, nnz))
+    # distinct columns per row (the RBF assembly invariant)
+    cols = jnp.stack([
+        jax.random.permutation(jax.random.fold_in(kc, i), C)[:nnz]
+        for i in range(R)])
+    return PaddedSparse(vals=vals, cols=cols, n_cols=C)
+
+
+def test_padded_sparse_matvec_matches_dense():
+    A = _random_padded_sparse(jax.random.PRNGKey(8), R=15, C=9, nnz=4)
+    dense = np.zeros((15, 9))
+    for i in range(15):
+        for j in range(4):
+            dense[i, int(A.cols[i, j])] += float(A.vals[i, j])
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (9,)))
+    r = np.asarray(jax.random.normal(jax.random.PRNGKey(10), (15,)))
+    assert np.allclose(np.asarray(A.mv(jnp.asarray(x))), dense @ x, atol=1e-5)
+    assert np.allclose(np.asarray(A.rmv(jnp.asarray(r))), dense.T @ r,
+                       atol=1e-5)
+    assert np.allclose(np.asarray(A.col_norms()),
+                       np.linalg.norm(dense, axis=0), atol=1e-5)
+
+
+def test_cgls_sparse_with_preconditioning():
+    A = _random_padded_sparse(jax.random.PRNGKey(11), R=60, C=20, nnz=6)
+    # scale columns badly to exercise the Jacobi preconditioner
+    scale = jnp.concatenate([jnp.ones(10) * 100.0, jnp.ones(10) * 0.01])
+    A = A._replace(vals=A.vals * scale[A.cols])
+    b = jax.random.normal(jax.random.PRNGKey(12), (60,))
+    x, _ = cgls_sparse(A, b, jnp.zeros(20), maxiter=500, tol=1e-12)
+    dense = np.zeros((60, 20))
+    for i in range(60):
+        for j in range(6):
+            dense[i, int(A.cols[i, j])] += float(A.vals[i, j])
+    x_ref = np.linalg.lstsq(dense, np.asarray(b), rcond=None)[0]
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-3)

