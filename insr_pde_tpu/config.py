@@ -83,6 +83,8 @@ class Config:
     output: str = "recap"
 
     # TPU-native additions (no reference analogue)
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    debug_nan: bool = False        # per-iteration NaN detection in the solver
     sample_resolution_init: int = 0  # 0 = reference defaults (500 2D / 100 3D)
     chunk_size: int = 250          # Adam iterations per jitted device round-trip
     n_devices: int = 0             # 0 = all local devices; 1 = single-chip
@@ -174,6 +176,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--fps", type=int, default=10)
 
     p.add_argument("--chunk_size", type=int, default=250)
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--debug_nan", action="store_true")
     p.add_argument("--n_devices", type=int, default=0)
     p.add_argument("--write_tb", action="store_true")
     p.add_argument("--overwrite", action=argparse.BooleanOptionalAction, default=True)

@@ -39,7 +39,19 @@ def read_medit(path: str) -> MeshData:
     (`Vertices`, `Triangles`, `Tetrahedra`, ...) each followed by a count and
     that many whitespace-separated rows; element indices are 1-based (converted
     to 0-based here, matching what meshio hands the reference).
+
+    Uses the fastmesh C extension when a compiler is available
+    (insr_pde_tpu/native); this function body is the pure-python fallback.
+    Set INSR_NO_NATIVE=1 to force the fallback.
     """
+    if not os.environ.get("INSR_NO_NATIVE"):
+        try:
+            from ..native import read_medit_native
+            data = read_medit_native(path)
+            if data is not None:
+                return data
+        except Exception:
+            pass  # fall back to the python parser
     with open(path) as f:
         tokens = f.read().split()
 

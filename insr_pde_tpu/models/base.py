@@ -106,7 +106,8 @@ class BaseModel:
                 early_stop=self.cfg.early_stop,
                 plateau_patience=self.early_stop_plateau,
                 early_stop_min_lr=self.min_lr,
-                mesh=self.mesh, mesh_axis=self.cfg.mesh_axis)
+                mesh=self.mesh, mesh_axis=self.cfg.mesh_axis,
+                debug_nan=getattr(self.cfg, "debug_nan", False))
         solver = self._solvers[tag]
 
         last_vis = [0]
@@ -144,6 +145,14 @@ class BaseModel:
         if isinstance(name, int):
             path = os.path.join(self.cfg.model_dir,
                                 f"ckpt_step_t{name:03d}.npz")
+        elif name == "latest":
+            steps = sorted(
+                f for f in os.listdir(self.cfg.model_dir)
+                if f.startswith("ckpt_step_t") and f.endswith(".npz"))
+            if not steps:
+                raise FileNotFoundError(
+                    f"no per-step checkpoints in {self.cfg.model_dir}")
+            path = os.path.join(self.cfg.model_dir, steps[-1])
         else:
             path = os.path.join(self.cfg.model_dir, f"ckpt_{name}.npz")
         self.fields, meta = load_pytree(path, self.fields)

@@ -109,6 +109,24 @@ def pou_simple(x: jax.Array) -> jax.Array:
     return jnp.where((x >= -1.0) & (x <= 1.0), 1.0, 0.0)
 
 
+def pou_sine(x: jax.Array) -> jax.Array:
+    """C1 sine-blended bump on [-5/4, 5/4]: ramps 0.5 +/- sin(2 pi x)/2 on
+    the shoulders, plateau 1 inside [-3/4, 3/4].
+
+    The reference's `PoU` (base/networks.py:113-119) intends this shape but
+    is unusable as written: `(x>=(-5/4)&(x<-3/4))` binds `&` before `>=`,
+    and the plateau is typo'd `.1`; it is also never called. This is the
+    corrected, smooth PoU option.
+    """
+    shoulder_lo = 0.5 + jnp.sin(2.0 * jnp.pi * x) / 2.0
+    shoulder_hi = 0.5 - jnp.sin(2.0 * jnp.pi * x) / 2.0
+    out = jnp.zeros_like(x)
+    out = jnp.where((x >= -1.25) & (x < -0.75), shoulder_lo, out)
+    out = jnp.where((x >= -0.75) & (x < 0.75), 1.0, out)
+    out = jnp.where((x >= 0.75) & (x < 1.25), shoulder_hi, out)
+    return out
+
+
 class PointBasis(NamedTuple):
     """Per-query gathered basis block: everything the PDE assembly needs.
 
@@ -199,6 +217,13 @@ def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
     base = (idx * E + var) * J                        # (Q, K)
     return (base[:, :, None] + jnp.arange(J)[None, None, :]).reshape(
         idx.shape[0], -1)
+
+
+def spatial_knn_idx(cfg: RBFConfig, p: RBFParams, x: jax.Array) -> jax.Array:
+    """Spatial-only neighbor search over basis centers, (Q, K) — reference
+    neighbor_search_spatial (base/networks.py:318-344)."""
+    _, idx = knn(x, p.centers, cfg.neighbor_k)
+    return idx
 
 
 # ---- dense (non-KNN) variant ----------------------------------------------

@@ -109,7 +109,9 @@ class Solver:
                  plateau_factor: float = 0.1, plateau_patience: int = 500,
                  plateau_threshold: float = 1e-4, plateau_min_lr: float = 1e-8,
                  early_stop_min_lr: float = 1.1e-8,
-                 mesh: Optional[Mesh] = None, mesh_axis: str = "data"):
+                 mesh: Optional[Mesh] = None, mesh_axis: str = "data",
+                 debug_nan: bool = False):
+        self.debug_nan = debug_nan
         self.loss_fn = loss_fn
         self.lr = lr
         self.max_n_iters = max_n_iters
@@ -173,6 +175,12 @@ class Solver:
         out = dict(ld)
         out["_lr"] = self.lr * carry.plateau.scale
         out["_active"] = active
+        if self.debug_nan:
+            # per-iteration grad NaN flag (the reference carries NaN status
+            # out of its diff ops, base/diff_ops.py:27-29,78-80)
+            leaves = jax.tree_util.tree_leaves(grads)
+            out["_nan"] = jnp.any(
+                jnp.stack([jnp.any(jnp.isnan(l)) for l in leaves]))
         return SolveState(params, opt_state, plateau, key), out
 
     def _get_chunk_fn(self, length: int):
@@ -205,6 +213,10 @@ class Solver:
             state, outs = self._get_chunk_fn(n)(state, aux)
             outs = jax.tree_util.tree_map(lambda x: jax.device_get(x), outs)
             active = outs.pop("_active")
+            if self.debug_nan and outs.get("_nan", jnp.zeros(1)).any():
+                import warnings
+                warnings.warn(f"NaN gradients detected in chunk ending at "
+                              f"iteration {it + n}")
             n_active = int(active.sum())
             for k, v in outs.items():
                 history.setdefault(k, []).append(v[:n_active] if n_active < n else v)

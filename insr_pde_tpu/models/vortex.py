@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.linalg import PaddedSparse, cgls_sparse
+from ..ops.linalg import PaddedSparse, cg_batch, cgls_sparse
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, column_ids, field_dt, field_grad, field_value,
@@ -310,19 +310,32 @@ class VortexModel:
                          n_cols=rcfg.n_coeffs)
         return A, jnp.concatenate(rhs_list, axis=0)
 
-    def matrix_solver(self):
-        """Picard loop: assemble around the current coefficients, CGLS-solve
-        the linear system, repeat (reference matrix_solver,
-        vortex/model.py:445-478, one lsqr pass)."""
+    def matrix_solver(self, solver: str = "cgls"):
+        """Picard loop: assemble around the current coefficients, solve the
+        linear least-squares system, repeat (reference matrix_solver,
+        vortex/model.py:445-478, one lsqr pass).
+
+        solver='cgls' (default) is CG on the normal equations in factored
+        form; solver='cg' runs `ops.linalg.cg_batch` on the explicit normal
+        equations operator AᵀA — the path the reference's dense Vortex class
+        takes (least_square_solver + cg_batch, vortex/model.py:86-101)."""
         cfg = self.cfg
 
         @jax.jit
         def one_pass(u_flat):
             A, b = self.assemble(u_flat.reshape(self.params.u.shape))
-            x, info = cgls_sparse(A, b, u_flat.reshape(-1) * 0.0,
-                                  maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol)
+            if solver == "cg":
+                normal = lambda X: A.rmv(A.mv(X[0, :, 0]))[None, :, None]
+                X, info = cg_batch(normal, A.rmv(b)[None, :, None],
+                                   rtol=1e-6, maxiter=cfg.cgls_maxiter)
+                x, niter = X[0, :, 0], info["niter"]
+            else:
+                x, info = cgls_sparse(A, b, u_flat.reshape(-1) * 0.0,
+                                      maxiter=cfg.cgls_maxiter,
+                                      tol=cfg.cgls_tol)
+                niter = info["niter"]
             res = jnp.linalg.norm(A.mv(x) - b)
-            return x, res, info["niter"]
+            return x, res, niter
 
         u_flat = self.params.u.reshape(-1)
         for it in range(cfg.picard_iters):

@@ -5,6 +5,7 @@ Reference parity: main.py:5-29 — `python main.py {advection,fluid,elasticity}
 written per timestep.
 """
 
+import json
 import os
 import sys
 import time
@@ -37,15 +38,38 @@ def main(argv=None):
     output_folder = os.path.join(cfg.exp_dir, "results")
     os.makedirs(output_folder, exist_ok=True)
 
-    for t in range(cfg.n_timesteps + 1):
-        tic = time.perf_counter()
-        if t == 0:
-            model.initialize()
-        else:
-            model.step()
-        dt_wall = time.perf_counter() - tic
-        print(f"timestep: {t}  ({dt_wall:.2f}s)")
-        model.write_output(output_folder)
+    # resume: the reference reserves --ckpt but never wires it
+    # (config.py:105); here it restores the named/latest/int checkpoint and
+    # continues the timestep loop after it.
+    start_t = 0
+    if cfg.ckpt is not None:
+        name = int(cfg.ckpt) if cfg.ckpt.lstrip("-").isdigit() else cfg.ckpt
+        model.load_ckpt(name)
+        start_t = model.timestep + 1
+        print(f"resumed from checkpoint at timestep {model.timestep}")
+
+    profile_ctx = None
+    if cfg.profile_dir:
+        import jax
+        profile_ctx = jax.profiler.trace(cfg.profile_dir)
+        profile_ctx.__enter__()
+
+    timings_path = os.path.join(cfg.exp_dir, "timings.jsonl")
+    try:
+        for t in range(start_t, cfg.n_timesteps + 1):
+            tic = time.perf_counter()
+            if t == 0:
+                model.initialize()
+            else:
+                model.step()
+            dt_wall = time.perf_counter() - tic
+            print(f"timestep: {t}  ({dt_wall:.2f}s)")
+            with open(timings_path, "a") as f:
+                f.write(json.dumps({"timestep": t, "sec": dt_wall}) + "\n")
+            model.write_output(output_folder)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""End-to-end CLI tests (train / resume / recap) on the CPU platform."""
+
+import json
+import os
+
+import numpy as np
+
+import main as main_mod
+import recap as recap_mod
+
+
+def _adv_args(tmp, extra=()):
+    return ["advection", "--tag", "cli_adv", "--proj_dir", str(tmp),
+            "--init_cond", "example1", "--num_hidden_layers", "2",
+            "--hidden_features", "16", "-sr", "200", "--dt", "0.05",
+            "--max_n_iters", "60", "--chunk_size", "30",
+            "--no-early_stop", "--no_backup"] + list(extra)
+
+
+def test_train_resume_recap_roundtrip(tmp_path):
+    exp = tmp_path / "cli_adv"
+
+    # train t=0..1
+    main_mod.main(_adv_args(tmp_path, ["-T", "1"]))
+    assert (exp / "model" / "ckpt_step_t001.npz").exists()
+    assert (exp / "results" / "t001.npz").exists()
+    with open(exp / "timings.jsonl") as f:
+        assert len(f.readlines()) == 2
+
+    # resume from latest and continue to t=3 (exp dir must not be wiped)
+    main_mod.main(_adv_args(tmp_path, ["-T", "3", "--ckpt", "latest"]))
+    assert (exp / "model" / "ckpt_step_t003.npz").exists()
+    assert (exp / "results" / "t001.npz").exists()  # not wiped
+
+    # recap re-renders outputs from checkpoints
+    recap_mod.main(["advection", "--tag", "cli_adv",
+                    "--proj_dir", str(tmp_path)])
+    for t in range(4):
+        assert (exp / "recap" / f"t{t:03d}.npz").exists()
+    a = np.load(exp / "results" / "t003.npz")["arr_0"]
+    b = np.load(exp / "recap" / "t003.npz")["arr_0"]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_config_json_snapshot(tmp_path):
+    main_mod.main(_adv_args(tmp_path, ["-T", "0"]))
+    with open(tmp_path / "cli_adv" / "config.json") as f:
+        snap = json.load(f)
+    assert snap["pde"] == "advection"
+    assert snap["hidden_features"] == 16

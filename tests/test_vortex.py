@@ -155,3 +155,32 @@ def test_vortex_write_output(tmp_path, tiny_vortex):
     tiny_vortex.write_output(str(tmp_path), resolution=8)
     assert (tmp_path / "field.npy").exists()
     assert (tmp_path / "slice00_speed.png").exists()
+
+
+def test_pou_sine_shape():
+    from insr_pde_tpu.models.rbf import pou_sine
+    x = jnp.asarray([-2.0, -1.25, -1.0, -0.75, 0.0, 0.75, 1.0, 1.25, 2.0])
+    v = np.asarray(pou_sine(x))
+    np.testing.assert_allclose(
+        v, [0.0, 0.0, 0.5, 1.0, 1.0, 1.0, 0.5, 0.0, 0.0], atol=1e-6)
+
+
+def test_spatial_knn(small_rbf):
+    from insr_pde_tpu.models.rbf import spatial_knn_idx
+    cfg, p = small_rbf
+    x = jnp.zeros((2, 2))
+    idx = spatial_knn_idx(cfg, p, x)
+    assert idx.shape == (2, cfg.neighbor_k)
+    # nearest centers to the origin must be within the central cells
+    d = jnp.linalg.norm(p.centers[idx[0]], axis=-1)
+    assert float(jnp.max(d)) < 0.5
+
+
+def test_vortex_matrix_solver_cg_path():
+    cfg = VortexConfig(
+        collocation_pts_num=32, boundary_num=16, time_num=2,
+        n_spatial_basis=16, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=300, picard_iters=1, seed=7)
+    model = VortexModel(cfg, log=False)
+    res = model.matrix_solver(solver="cg")
+    assert np.isfinite(res)
