@@ -48,6 +48,16 @@ class RBFConfig:
     band_width: float = 10.0
     neighbor_k: int = 6
     seed: int = 213421
+    pou_width: float = 0.0     # spatial PoU support; 0 = band_width
+                               # (for 'hat' space PoU set ~ the grid spacing)
+
+    @property
+    def spatial_spacing(self) -> float:
+        return 2.0 / self.spatial_resolution
+
+    @property
+    def effective_pou_width(self) -> float:
+        return self.pou_width if self.pou_width > 0 else self.band_width
 
     @property
     def spatial_resolution(self) -> int:
@@ -127,6 +137,21 @@ def pou_sine(x: jax.Array) -> jax.Array:
     return out
 
 
+def pou_hat(x: jax.Array) -> jax.Array:
+    """Hat (linear-interpolation) bump on [-1, 1]: a TRUE partition of unity
+    across adjacent sites at unit spacing. Unlike the indicator
+    `pou_simple`, the represented field stays continuous when a query's
+    neighbor window switches between time slices (with indicators the field
+    JUMPS at window boundaries — a latent flaw of the reference design that
+    surfaces as soon as collocation points live between slices)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def pou_hat_grad(x: jax.Array) -> jax.Array:
+    """d pou_hat / dx (a.e.): -sign(x) inside the support."""
+    return jnp.where(jnp.abs(x) < 1.0, -jnp.sign(x), 0.0)
+
+
 class PointBasis(NamedTuple):
     """Per-query gathered basis block: everything the PDE assembly needs.
 
@@ -136,6 +161,8 @@ class PointBasis(NamedTuple):
     dxx:  (Q, K, E, J, D) diagonal second derivatives (analytic; the
           reference never implemented this — base/networks.py:382 TODO)
     w:    (Q, K) PoU weights
+    dwdt: (Q, K) d w / d t (nonzero for the 'hat' time PoU)
+    dwdx: (Q, K, D) d w / d x (nonzero for the 'hat' space PoU)
     idx:  (Q, K) site indices into the flattened site axis
     """
     phi: jax.Array
@@ -143,16 +170,30 @@ class PointBasis(NamedTuple):
     dt: jax.Array
     dxx: jax.Array
     w: jax.Array
+    dwdt: jax.Array
+    dwdx: jax.Array
     idx: jax.Array
 
 
 def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
-                idx: Optional[jax.Array] = None) -> PointBasis:
+                idx: Optional[jax.Array] = None,
+                time_pou: str = "simple",
+                space_pou: str = "simple") -> PointBasis:
     """Evaluate gathered features at (x (Q,dim), t (Q,)).
 
     If idx is None, runs space-time KNN with the time axis rescaled by
     bw/tbw so temporal and spatial distances are commensurate (reference
     neighbor_search, base/networks.py:293-316).
+
+    time_pou / space_pou: 'simple' (indicator, reference parity) or 'hat'.
+    'hat' makes the representation CONTINUOUS when the K-neighbor window
+    switches: with indicators the K-truncated sum jumps between
+    neighborhoods, so fields can encode variation in window switches that
+    the analytic derivative operators cannot see (observed as transport
+    solves where the field never moves). Spatial 'hat' uses
+    cfg.pou_width (set it to the site grid spacing for a true bilinear
+    partition of unity over the cell corners); its x-derivative feeds the
+    operator columns via the product rule.
     """
     bw, tbw = cfg.band_width, cfg.time_band_width
     if idx is None:
@@ -179,31 +220,84 @@ def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
     dt = sig1 * tA / tbw
     dxx = sig2[..., None] * (A / bw) ** 2
 
-    w = jnp.prod(pou_simple(x_rel), axis=-1) * pou_simple(t_rel)
-    return PointBasis(phi=phi, dx=dx, dt=dt, dxx=dxx, w=w, idx=idx)
+    pw = cfg.effective_pou_width
+    xp_rel = (x[:, None, :] - p.centers[idx]) / pw         # (Q, K, D)
+    if space_pou == "hat":
+        per_dim = pou_hat(xp_rel)                          # (Q, K, D)
+        x_w = jnp.prod(per_dim, axis=-1)
+        # d/dx_d of the product: grad of dim d times the other dims
+        others = x_w[..., None] / jnp.where(per_dim > 0, per_dim, 1.0)
+        dx_w = jnp.where(per_dim > 0,
+                         others * pou_hat_grad(xp_rel) / pw, 0.0)
+    elif space_pou == "simple":
+        x_w = jnp.prod(pou_simple(xp_rel), axis=-1)
+        dx_w = jnp.zeros_like(xp_rel)
+    else:
+        raise NotImplementedError(f"space_pou={space_pou}")
+
+    if time_pou == "hat":
+        t_w = pou_hat(t_rel)
+        dt_w = pou_hat_grad(t_rel) / tbw
+    elif time_pou == "simple":
+        t_w = pou_simple(t_rel)
+        dt_w = jnp.zeros_like(t_w)
+    else:
+        raise NotImplementedError(f"time_pou={time_pou}")
+    return PointBasis(phi=phi, dx=dx, dt=dt, dxx=dxx,
+                      w=x_w * t_w, dwdt=x_w * dt_w,
+                      dwdx=dx_w * t_w[..., None], idx=idx)
+
+
+# ---- per-coefficient column blocks (Q, K, E, J) ---------------------------
+
+def basis_val(pb: PointBasis) -> jax.Array:
+    """Columns of the value operator: w * phi."""
+    return pb.w[:, :, None, None] * pb.phi
+
+
+def basis_dx(pb: PointBasis) -> jax.Array:
+    """Columns of d/dx: w * dphi/dx + dw/dx * phi (product rule through the
+    spatial PoU), (Q,K,E,J,D)."""
+    return (pb.w[:, :, None, None, None] * pb.dx
+            + pb.dwdx[:, :, None, None, :] * pb.phi[..., None])
+
+
+def basis_dt(pb: PointBasis) -> jax.Array:
+    """Columns of d/dt: w * dphi/dt + dw/dt * phi (product rule through the
+    time PoU)."""
+    return (pb.w[:, :, None, None] * pb.dt
+            + pb.dwdt[:, :, None, None] * pb.phi)
 
 
 # ---- field evaluation against coefficients --------------------------------
 
 def field_value(pb: PointBasis, u: jax.Array) -> jax.Array:
     """u_e(x,t): (Q, E). Reference inference (base/networks.py:452-488)."""
-    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.phi, u[pb.idx])
+    return jnp.einsum("qkej,qkej->qe", basis_val(pb), u[pb.idx])
 
 
 def field_grad(pb: PointBasis, u: jax.Array) -> jax.Array:
     """d u_e / d x: (Q, E, D)."""
-    return jnp.einsum("qk,qkejd,qkej->qed", pb.w, pb.dx, u[pb.idx])
+    return jnp.einsum("qkejd,qkej->qed", basis_dx(pb), u[pb.idx])
+
+
+def basis_dxx_diag(pb: PointBasis) -> jax.Array:
+    """Columns of the diagonal second derivatives: w * phi'' + 2 dw/dx phi'
+    (hat PoU has zero second derivative a.e.), (Q,K,E,J,D)."""
+    return (pb.w[:, :, None, None, None] * pb.dxx
+            + 2.0 * pb.dwdx[:, :, None, None, :] * pb.dx)
 
 
 def field_dt(pb: PointBasis, u: jax.Array) -> jax.Array:
     """d u_e / d t: (Q, E)."""
-    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.dt, u[pb.idx])
+    return jnp.einsum("qkej,qkej->qe", basis_dt(pb), u[pb.idx])
 
 
 def field_lap(pb: PointBasis, u: jax.Array) -> jax.Array:
     """Laplacian of u_e: (Q, E) — capability the reference lacks
     (Hessian TODO at base/networks.py:382)."""
-    return jnp.einsum("qk,qkej,qkej->qe", pb.w, pb.dxx.sum(-1), u[pb.idx])
+    return jnp.einsum("qkej,qkej->qe", basis_dxx_diag(pb).sum(-1),
+                      u[pb.idx])
 
 
 def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
@@ -224,6 +318,34 @@ def spatial_knn_idx(cfg: RBFConfig, p: RBFParams, x: jax.Array) -> jax.Array:
     neighbor_search_spatial (base/networks.py:318-344)."""
     _, idx = knn(x, p.centers, cfg.neighbor_k)
     return idx
+
+
+def structured_spacetime_idx(cfg: RBFConfig, p: RBFParams, x: jax.Array,
+                             t: jax.Array, time_window: int = 2) -> jax.Array:
+    """Structured neighborhood: K spatial-nearest grid sites x the
+    `time_window` nearest time slices — (Q, K * time_window).
+
+    The reference's scaled space-time KNN (base/networks.py:293-316) ranks
+    sites by sqrt(|dx|^2 + (dt * bw/tbw)^2); with its default scales the
+    temporal term dwarfs the spatial one, so all K neighbors land on the
+    query's own time slice and the global system DECOUPLES across slices —
+    nothing propagates information forward in time (observed: transported
+    fields decay to zero). Exploiting the regular slice layout instead
+    guarantees every point couples to adjacent slices.
+    """
+    ns = cfg.n_sites_spatial
+    _, sidx = knn(x, p.centers[:ns], cfg.neighbor_k)       # (Q, K)
+    spacing = cfg.time_length / max(cfg.time_num - 1, 1)
+    base = jnp.floor(t / spacing).astype(jnp.int32)
+    # clamp the window START so the slices are always distinct (a clip on
+    # the endpoints would duplicate sites at t = T, breaking the
+    # distinct-columns invariant of the sparse assembly)
+    base = jnp.clip(base - (time_window - 1) // 2, 0,
+                    max(cfg.time_num - time_window, 0))
+    offs = jnp.arange(time_window, dtype=jnp.int32)
+    slices = base[:, None] + offs[None, :]                 # (Q, W)
+    idx = slices[:, :, None] * ns + sidx[:, None, :]       # (Q, W, K)
+    return idx.reshape(x.shape[0], -1)
 
 
 # ---- dense (non-KNN) variant ----------------------------------------------

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -44,8 +43,9 @@ import optax
 from ..ops.linalg import PaddedSparse, cg_batch, cgls_sparse
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
-from .rbf import (RBFConfig, column_ids, field_dt, field_grad, field_value,
-                  init_rbf, point_basis)
+from .rbf import (RBFConfig, basis_dt, basis_dx, basis_val, column_ids,
+                  field_dt, field_grad, field_value, init_rbf, point_basis,
+                  structured_spacetime_idx)
 
 
 @dataclass
@@ -71,8 +71,15 @@ class VortexConfig:
     # solver knobs (TPU-native additions)
     cgls_maxiter: int = 2000
     cgls_tol: float = 1e-10
+    cgls_damp: float = 0.0
     picard_iters: int = 3
     train_lr: float = 0.1
+    # 'simple' = reference parity (indicator PoU + scaled space-time KNN);
+    # 'hat' = continuous PoUs + structured slice windows — removes the
+    # representation discontinuities of the reference design (see
+    # rbf.point_basis docstring)
+    pou: str = "simple"
+    time_window: int = 2
 
 
 class SpaceTimePoints(NamedTuple):
@@ -141,23 +148,36 @@ class VortexModel:
 
     def __init__(self, cfg: VortexConfig, log: bool = True):
         self.cfg = cfg
+        tmp = RBFConfig(dim=cfg.dim, n_spatial_basis=cfg.n_spatial_basis)
         self.rbf_cfg = RBFConfig(
             dim=cfg.dim, n_vars=cfg.n_variables, n_feat=cfg.n_feat,
             n_spatial_basis=cfg.n_spatial_basis, time_num=cfg.time_num,
             time_length=cfg.time_length, band_width=cfg.band_width,
-            neighbor_k=cfg.neighbor_k, seed=cfg.seed)
+            neighbor_k=cfg.neighbor_k, seed=cfg.seed,
+            pou_width=tmp.spatial_spacing if cfg.pou == "hat" else 0.0)
+        # sites gathered per point (hat mode couples `time_window` slices)
+        self.k_eff = cfg.neighbor_k * (
+            cfg.time_window if cfg.pou == "hat" else 1)
         key = jax.random.PRNGKey(cfg.seed)
         k_basis, k_pts = jax.random.split(key)
         self.params = init_rbf(self.rbf_cfg, k_basis)
         self.pts = build_points(cfg, k_pts)
         # gathered basis features at all residual points (static geometry ->
         # computed once, reused by every solve iteration)
-        self.pb = jax.jit(partial(point_basis, self.rbf_cfg))(
+        self.pb = jax.jit(self._point_basis)(
             self.params, self.pts.x, self.pts.t)
         self.tb = MetricsWriter(cfg.log_dir) if log else None
         self.opt = optax.adam(cfg.train_lr)
         self.opt_state = self.opt.init(self.params.u)
         self._step = 0
+
+    def _point_basis(self, params, x, t):
+        if self.cfg.pou == "hat":
+            idx = structured_spacetime_idx(self.rbf_cfg, params, x, t,
+                                           self.cfg.time_window)
+            return point_basis(self.rbf_cfg, params, x, t, idx=idx,
+                               time_pou="hat", space_pou="hat")
+        return point_basis(self.rbf_cfg, params, x, t)
 
     # ---------------- gradient-descent path (reference train/train_step,
     #                  vortex/model.py:230-267) ----------------
@@ -225,8 +245,7 @@ class VortexModel:
         cfg, pts, pb = self.cfg, self.pts, self.pb
         rcfg = self.rbf_cfg
         Eu = cfg.n_velocity
-        K, J = cfg.neighbor_k, cfg.n_feat
-        KJ = K * J
+        KJ = self.k_eff * cfg.n_feat
         nnz = 2 * KJ
 
         val_bar = field_value(pb, ubar)
@@ -249,15 +268,15 @@ class VortexModel:
 
         # -- momentum rows: one per (interior point, velocity component d)
         pbi = gather(pts.inner)
+        bval_i, bdx_i, bdt_i = basis_val(pbi), basis_dx(pbi), basis_dt(pbi)
         ub = val_bar[pts.inner, :Eu]                        # (Qi, Eu)
         for d in range(Eu):
             # var-d columns: rho * ((ubar . grad) phi + dphi/dt)
-            conv = jnp.einsum("qkjd,qd->qkj", pbi.dx[:, :, d, :, :], ub)
-            v_d = (cfg.rho * (conv + pbi.dt[:, :, d, :])
-                   * pbi.w[:, :, None]).reshape(-1, KJ)
+            conv = jnp.einsum("qkjd,qd->qkj", bdx_i[:, :, d, :, :], ub)
+            v_d = (cfg.rho * (conv + bdt_i[:, :, d, :])).reshape(-1, KJ)
             c_d = column_ids(rcfg, pbi.idx, d)
             # pressure columns: d phi_p / d x_d
-            v_p = (pbi.dx[:, :, Eu, :, d] * pbi.w[:, :, None]).reshape(-1, KJ)
+            v_p = bdx_i[:, :, Eu, :, d].reshape(-1, KJ)
             c_p = column_ids(rcfg, pbi.idx, Eu)
             vals = jnp.concatenate([v_d, v_p], axis=1)
             cols = jnp.concatenate([c_d, c_p], axis=1)
@@ -265,8 +284,8 @@ class VortexModel:
             add_block(vals, cols, rhs)
 
         # -- continuity rows: sum_d d phi_d / d x_d
-        v0 = (pbi.dx[:, :, 0, :, 0] * pbi.w[:, :, None]).reshape(-1, KJ)
-        v1 = (pbi.dx[:, :, 1, :, 1] * pbi.w[:, :, None]).reshape(-1, KJ)
+        v0 = bdx_i[:, :, 0, :, 0].reshape(-1, KJ)
+        v1 = bdx_i[:, :, 1, :, 1].reshape(-1, KJ)
         add_block(jnp.concatenate([v0, v1], axis=1),
                   jnp.concatenate([column_ids(rcfg, pbi.idx, 0),
                                    column_ids(rcfg, pbi.idx, 1)], axis=1),
@@ -274,8 +293,9 @@ class VortexModel:
 
         # -- free-slip rows: u . n
         pbn = gather(pts.neu)
+        bval_n = basis_val(pbn)
         vals = jnp.concatenate(
-            [(pbn.phi[:, :, e, :] * pbn.w[:, :, None]
+            [(bval_n[:, :, e, :]
               * pts.norm[:, e][:, None, None]).reshape(-1, KJ)
              for e in range(Eu)], axis=1)
         cols = jnp.concatenate(
@@ -284,24 +304,26 @@ class VortexModel:
 
         # -- outlet pressure rows: p = 0
         pbd = gather(pts.dirp)
-        add_block((pbd.phi[:, :, Eu, :] * pbd.w[:, :, None]).reshape(-1, KJ),
+        add_block(basis_val(pbd)[:, :, Eu, :].reshape(-1, KJ),
                   column_ids(rcfg, pbd.idx, Eu),
                   jnp.zeros(len(pts.dirp)))
 
         # -- inlet rows: u_e = (v_in, 0)
         pbl = gather(pts.left)
+        bval_l = basis_val(pbl)
         for e in range(Eu):
             add_block(
-                (pbl.phi[:, :, e, :] * pbl.w[:, :, None]).reshape(-1, KJ),
+                bval_l[:, :, e, :].reshape(-1, KJ),
                 column_ids(rcfg, pbl.idx, e),
                 jnp.full((len(pts.left),),
                          cfg.internal_v if e == 0 else 0.0))
 
         # -- initial rows: all variables zero at t=0
         pb0 = gather(pts.init)
+        bval_0 = basis_val(pb0)
         for e in range(cfg.n_variables):
             add_block(
-                (pb0.phi[:, :, e, :] * pb0.w[:, :, None]).reshape(-1, KJ),
+                bval_0[:, :, e, :].reshape(-1, KJ),
                 column_ids(rcfg, pb0.idx, e),
                 jnp.zeros(len(pts.init)))
 
@@ -332,7 +354,9 @@ class VortexModel:
             else:
                 x, info = cgls_sparse(A, b, u_flat.reshape(-1) * 0.0,
                                       maxiter=cfg.cgls_maxiter,
-                                      tol=cfg.cgls_tol)
+                                      tol=cfg.cgls_tol,
+                                      precondition=cfg.cgls_damp == 0.0,
+                                      damp=cfg.cgls_damp)
                 niter = info["niter"]
             res = jnp.linalg.norm(A.mv(x) - b)
             return x, res, niter
@@ -360,8 +384,8 @@ class VortexModel:
 
         @jax.jit
         def eval_slice(t):
-            pb = point_basis(self.rbf_cfg, self.params, grid,
-                             jnp.full(grid.shape[0], t))
+            pb = self._point_basis(self.params, grid,
+                                   jnp.full(grid.shape[0], t))
             return field_value(pb, self.params.u)
 
         vals = jnp.stack([eval_slice(t) for t in ts])

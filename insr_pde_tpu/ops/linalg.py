@@ -112,16 +112,18 @@ def cg_solve(A_bmm: Callable, B: jax.Array, **kw) -> jax.Array:
 
 
 def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
-         maxiter: int = 500, tol: float = 1e-8):
-    """Least-squares min_x |A x - b|_2 via CGLS (CG on AᵀA in factored form;
-    LSQR-equivalent in exact arithmetic, and the numerically recommended
-    form of the normal equations).
+         maxiter: int = 500, tol: float = 1e-8, damp: float = 0.0):
+    """Damped least squares min_x |A x - b|^2 + damp^2 |x|^2 via CGLS
+    (CG on the regularized normal equations in factored form;
+    LSQR-with-damp-equivalent in exact arithmetic, and the numerically
+    recommended form).
 
     A_mv: x -> A @ x (rows space), At_mv: r -> Aᵀ @ r (cols space).
-    Returns (x, info dict with 'niter', 'resnorm' |Aᵀ(Ax-b)|).
+    Returns (x, info dict with 'niter', 'resnorm' |Aᵀ(Ax-b) - damp² x|).
     """
+    d2 = damp * damp
     r0 = b - A_mv(x0)
-    s0 = At_mv(r0)
+    s0 = At_mv(r0) - d2 * x0
     gamma0 = jnp.sum(s0 * s0)
     stop2 = (tol ** 2) * gamma0
 
@@ -137,11 +139,11 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
 
     def step(st: _State):
         q = A_mv(st.p)
-        denom = jnp.sum(q * q)
+        denom = jnp.sum(q * q) + d2 * jnp.sum(st.p * st.p)
         alpha = st.gamma / jnp.where(denom == 0, 1e-30, denom)
         x = st.x + alpha * st.p
         r = st.r - alpha * q
-        s = At_mv(r)
+        s = At_mv(r) - d2 * x
         gamma_new = jnp.sum(s * s)
         beta = gamma_new / jnp.where(st.gamma == 0, 1e-30, st.gamma)
         p = s + beta * st.p
@@ -186,16 +188,18 @@ class PaddedSparse(NamedTuple):
 
 def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                 maxiter: int = 500, tol: float = 1e-8,
-                precondition: bool = True):
+                precondition: bool = True, damp: float = 0.0):
     """CGLS on a PaddedSparse operator with optional Jacobi column scaling
-    (solves min |A D y - b|, x = D y, D = 1/col_norm) — the role of the
-    reference's per-block max-normalization (vortex/model.py:403-410), done
-    properly per column."""
+    (solves min |A D y - b|^2 + damp^2 |y|^2, x = D y, D = 1/col_norm) —
+    the role of the reference's per-block max-normalization
+    (vortex/model.py:403-410), done properly per column. With scaling,
+    `damp` regularizes the well-scaled variable y (zero-norm columns get
+    D = 0, i.e. their coefficients are pinned to zero)."""
     if precondition:
         d = A.col_norms()
         d = jnp.where(d > 1e-12, 1.0 / d, 0.0)
         x, info = cgls(lambda y: A.mv(d * y), lambda r: d * A.rmv(r),
                        b, x0 / jnp.where(d == 0, 1.0, d),
-                       maxiter=maxiter, tol=tol)
+                       maxiter=maxiter, tol=tol, damp=damp)
         return d * x, info
-    return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol)
+    return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol, damp=damp)

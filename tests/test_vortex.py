@@ -184,3 +184,20 @@ def test_vortex_matrix_solver_cg_path():
     model = VortexModel(cfg, log=False)
     res = model.matrix_solver(solver="cg")
     assert np.isfinite(res)
+
+
+def test_vortex_hat_pou_mode():
+    """The continuous-PoU mode (structured slice windows + hat weights)
+    solves the same system; residual decreases and the inlet BC holds."""
+    cfg = VortexConfig(
+        collocation_pts_num=64, boundary_num=32, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=500, picard_iters=2,
+        pou="hat", cgls_damp=0.01, seed=11)
+    model = VortexModel(cfg, log=False)
+    res = model.matrix_solver()
+    assert np.isfinite(res)
+    pb = model._point_basis(model.params, model.pts.x[model.pts.left],
+                            model.pts.t[model.pts.left])
+    v = field_value(pb, model.params.u)
+    assert abs(float(jnp.mean(v[:, 0])) - 1.0) < 0.5
