@@ -12,3 +12,11 @@ from .diff import (  # noqa: F401
     hessian,
 )
 from .svd import singular_values  # noqa: F401
+from .knn import knn, knn_gather  # noqa: F401
+from .linalg import (  # noqa: F401
+    PaddedSparse,
+    cg_batch,
+    cg_solve,
+    cgls,
+    cgls_sparse,
+)
