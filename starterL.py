@@ -19,6 +19,13 @@ def main(argv=None):
                     help="outer rounds of matrix_solver + vis (the reference "
                          "loops forever, starterL.py:31-36)")
     ap.add_argument("--mode", choices=["matrix", "train"], default="matrix")
+    ap.add_argument("--solver", choices=["cgls", "cg"], default="cgls",
+                    help="matrix mode: factored normal equations (cgls) or "
+                         "explicit normal-equations cg_batch (the reference "
+                         "dense Vortex path)")
+    ap.add_argument("--pou", choices=["simple", "hat"], default="simple",
+                    help="'hat' = continuous PoUs (recommended; see "
+                         "insr_pde_tpu/models/rbf.py)")
     ap.add_argument("--train_iters", type=int, default=200)
     ap.add_argument("--collocation", type=int, default=1000)
     ap.add_argument("--boundary", type=int, default=400)
@@ -32,13 +39,14 @@ def main(argv=None):
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
+        pou=args.pou, cgls_damp=0.01 if args.pou == "hat" else 0.0,
         log_dir=args.log_dir)
     model = VortexModel(cfg)
 
     for r in range(args.n_rounds):
         print(f"round: {r}")
         if args.mode == "matrix":
-            res = model.matrix_solver()
+            res = model.matrix_solver(solver=args.solver)
             print(f"  lstsq residual: {res:.4e}")
         else:
             loss = model.train(args.train_iters)
