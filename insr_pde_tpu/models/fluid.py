@@ -172,7 +172,8 @@ class Fluid2DModel(BaseModel):
         """Quiver PNG + magnitude/curl images + raw velocity grid .npy
         (reference fluid/model.py:207-233)."""
         grid = sample_uniform(self.vis_resolution, 2, flatten=False)
-        grid_u = self.vel_net.apply(self.fields["velocity"], grid)
+        # vis grids are the largest inference batches -> fused Pallas path
+        grid_u = self.vel_net.apply_fused(self.fields["velocity"], grid)
         flat = grid.reshape(-1, 2)
         jac = jacobian(self.vel_net.point_fn(self.fields["velocity"]), flat)
         jac = jac.reshape(self.vis_resolution, self.vis_resolution, 2, 2)

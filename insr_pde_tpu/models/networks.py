@@ -108,6 +108,21 @@ class MLP:
         for use with ops.diff transforms."""
         return lambda x: self.apply(params, x)
 
+    def apply_fused(self, params: Params, coords: jax.Array) -> jax.Array:
+        """Forward via the Pallas fused kernel (ops/pallas_siren.py): the
+        whole layer chain stays in VMEM per batch tile. Sine nonlinearity
+        and 2-D inputs only; gradients fall back to the XLA path through a
+        custom VJP. Prefer for large inference batches (vis/output grids)."""
+        if self.nonlinearity != "sine" or not self.outermost_linear:
+            return self.apply(params, coords)
+        # Mosaic kernels need TPU hardware ('axon' = tunneled TPU platform)
+        if jax.default_backend() not in ("tpu", "axon"):
+            return self.apply(params, coords)
+        from ..ops.pallas_siren import siren_forward
+        flat = coords.reshape(-1, coords.shape[-1])
+        out = siren_forward(params, flat)
+        return out.reshape(*coords.shape[:-1], self.out_features)
+
 
 def get_network(cfg: Any, in_features: int, out_features: int) -> MLP:
     """Network factory (reference base/networks.py:12-17)."""

@@ -152,6 +152,7 @@ def test_elasticity_3d_mesh_smoke(tmp_path):
     assert np.isfinite(res0.final_loss) and np.isfinite(res1.final_loss)
 
 
+@pytest.mark.slow
 def test_elasticity_constraint_stretch_moves_right_side(tmp_path):
     """Mini version of elasticity2Dstretch: right side constrained to +x
     offset — after a solve, displacement at x=+1 should move toward it."""

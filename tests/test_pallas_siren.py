@@ -33,3 +33,14 @@ def test_kernel_odd_batch_and_width():
     ref = _forward_reference(params, x)
     assert out.shape == (517, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_apply_fused_falls_back_on_cpu():
+    """On non-TPU backends apply_fused must route to the XLA path and
+    match apply exactly."""
+    net = MLP(in_features=2, out_features=2, num_hidden_layers=2,
+              hidden_features=16)
+    params = net.init(jax.random.PRNGKey(4))
+    x = jax.random.uniform(jax.random.PRNGKey(5), (7, 11, 2))
+    np.testing.assert_allclose(np.asarray(net.apply_fused(params, x)),
+                               np.asarray(net.apply(params, x)), atol=1e-7)

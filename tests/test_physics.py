@@ -14,6 +14,7 @@ from insr_pde_tpu.ops.diff import divergence
 from insr_pde_tpu.ops.sampling import sample_random
 
 
+@pytest.mark.slow
 def test_advection_peak_drifts_at_velocity(tmp_path):
     """After N steps the bump's peak must have moved ~ vel * dt * N."""
     from insr_pde_tpu.models.advection import Advection1DModel
@@ -42,6 +43,7 @@ def test_advection_peak_drifts_at_velocity(tmp_path):
     assert float(jnp.max(values)) > 0.7
 
 
+@pytest.mark.slow
 def test_fluid_init_matches_taylorgreen_and_projection_reduces_divergence(
         tmp_path):
     from insr_pde_tpu.models.fluid import Fluid2DModel

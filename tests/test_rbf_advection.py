@@ -8,6 +8,7 @@ decays to zero or freezes; see rbf.point_basis docstring)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from insr_pde_tpu.models.rbf_advection import (RBFAdvectionConfig,
                                                RBFAdvectionModel)
@@ -18,6 +19,7 @@ def gaussian(x):
     return jnp.exp(-jnp.sum((x - c) ** 2, axis=-1) / (2 * 0.2 ** 2))
 
 
+@pytest.mark.slow
 def test_rbf_advection_transports_bump():
     cfg = RBFAdvectionConfig(
         velocity=(0.5, 0.0), time_num=11, time_length=1.0,

@@ -1,0 +1,114 @@
+"""TPU performance probes (run one at a time on the chip; prints JSON lines).
+
+Usage: python tools/perf_probe.py {prng|pallas|fluid}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def _time_steps(fn, n=3):
+    fn()  # warmup/compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def probe_prng():
+    """advect1D solve-chunk time under threefry vs rbg PRNG."""
+    import jax
+
+    results = {}
+    for impl in ("threefry2x32", "rbg"):
+        jax.config.update("jax_default_prng_impl", impl)
+        import importlib
+
+        import tempfile
+
+        from insr_pde_tpu.config import Config
+        from insr_pde_tpu.models.advection import Advection1DModel
+
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = Config(pde="advection", proj_dir=tmp, tag=f"p_{impl}",
+                         init_cond="example1", num_hidden_layers=2,
+                         hidden_features=20, sample_resolution=5000,
+                         vis_resolution=100, max_n_iters=2000,
+                         chunk_size=2000, early_stop=False,
+                         vis_frequency=10 ** 9, backup_sources=False)
+            cfg.setup_dirs()
+            model = Advection1DModel(cfg)
+            model.initialize()
+            model.step()  # compile advect
+            results[impl] = _time_steps(model.step)
+        print(json.dumps({"probe": "prng", "impl": impl,
+                          "sec_per_2000it_step": round(results[impl], 4)}))
+    return results
+
+
+def probe_pallas():
+    """Fused Pallas SIREN forward vs plain XLA on inference batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from insr_pde_tpu.models.networks import MLP
+    from insr_pde_tpu.ops.pallas_siren import siren_forward
+
+    for width, n in ((64, 1 << 17), (128, 1 << 17)):
+        net = MLP(2, 2, num_hidden_layers=3, hidden_features=width)
+        params = net.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (n, 2))
+
+        xla = jax.jit(lambda p, c: net.apply(p, c))
+        pal = jax.jit(siren_forward)
+
+        def run_xla():
+            xla(params, x).block_until_ready()
+
+        def run_pal():
+            pal(params, x).block_until_ready()
+
+        t_x = _time_steps(run_xla, n=10)
+        t_p = _time_steps(run_pal, n=10)
+        print(json.dumps({"probe": "pallas", "width": width, "batch": n,
+                          "xla_ms": round(t_x * 1e3, 3),
+                          "pallas_ms": round(t_p * 1e3, 3),
+                          "speedup": round(t_x / t_p, 2)}))
+
+
+def probe_fluid():
+    """Per-timestep wall-clock of the 3-phase fluid step (sr=64, 1000 it)."""
+    import tempfile
+
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.fluid import Fluid2DModel
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = Config(pde="fluid", proj_dir=tmp, tag="perf",
+                     init_cond="taylorgreen", num_hidden_layers=3,
+                     hidden_features=32, sample_resolution=64,
+                     vis_resolution=32, max_n_iters=1000, chunk_size=1000,
+                     early_stop=False, vis_frequency=10 ** 9,
+                     backup_sources=False)
+        cfg.setup_dirs()
+        model = Fluid2DModel(cfg)
+        model.initialize()
+        model.step()  # compile all three phases
+        t = _time_steps(model.step, n=2)
+        print(json.dumps({"probe": "fluid", "sr": 64, "iters": 1000,
+                          "sec_per_timestep": round(t, 3)}))
+
+
+if __name__ == "__main__":
+    {"prng": probe_prng, "pallas": probe_pallas,
+     "fluid": probe_fluid}[sys.argv[1]]()
