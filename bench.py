@@ -23,6 +23,10 @@ import sys
 import tempfile
 import time
 
+from insr_pde_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 ITERS_PER_STEP = 2000
 N_SAMPLES = 5000
 TORCH_MEASURE_ITERS = 100

@@ -156,7 +156,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
     # (config.py:92); ignored — device selection is JAX-native.
     p.add_argument("-g", "--gpu_ids", type=str, default=None)
 
-    p.add_argument("--network", type=str, default="siren", choices=["siren", "grid"])
+    p.add_argument("--network", type=str, default="siren",
+                   choices=["siren", "grid", "hashgrid"])
     p.add_argument("--num_hidden_layers", type=int, default=3)
     p.add_argument("--hidden_features", type=int, default=64)
     p.add_argument("--nonlinearity", type=str, default="sine")

@@ -20,8 +20,8 @@ import numpy as np
 from ..ops.diff import divergence, gradient, jacobian, laplace
 from ..ops.sampling import (sample_boundary2D_separate, sample_random,
                             sample_uniform)
-from ..utils.viz import (draw_curl, draw_magnitude, draw_scalar_field2D,
-                         draw_vector_field2D, save_figure, save_numpy_img)
+from ..utils.viz import (draw_curl, draw_magnitude, draw_vector_field2D,
+                         save_figure, save_numpy_img)
 from .base import BaseModel
 from .examples import get_examples
 

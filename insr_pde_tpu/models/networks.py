@@ -124,9 +124,67 @@ class MLP:
         return out.reshape(*coords.shape[:-1], self.out_features)
 
 
-def get_network(cfg: Any, in_features: int, out_features: int) -> MLP:
-    """Network factory (reference base/networks.py:12-17)."""
+@dataclass(frozen=True)
+class HashGridField:
+    """Multires-hash-grid-encoded field: instant-NGP tables + a small relu
+    MLP head. Makes the reference's never-wired encoder
+    (vortex/hash_encoding.py — SURVEY §2.10) a usable `--network hashgrid`
+    choice. Coordinates are mapped [-1,1]^d -> [0,1]^d.
+
+    Caveat: multilinear interpolation is piecewise-linear, so second
+    derivatives vanish a.e. — suited to value-fit / first-order losses
+    (advection, projection), not the Poisson pressure solve.
+    """
+    in_features: int
+    out_features: int
+    num_hidden_layers: int = 2
+    hidden_features: int = 64
+    n_levels: int = 8
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 15
+    base_resolution: int = 8
+    finest_resolution: int = 256
+
+    def _encoder(self):
+        from .encodings import MultiResHashGrid
+        return MultiResHashGrid(
+            dim=self.in_features, n_levels=self.n_levels,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            finest_resolution=self.finest_resolution)
+
+    def _head(self):
+        enc = self._encoder()
+        return MLP(enc.output_dim, self.out_features,
+                   self.num_hidden_layers, self.hidden_features,
+                   nonlinearity="relu")
+
+    def init(self, key: jax.Array, dtype=jnp.float32):
+        k_enc, k_mlp = jax.random.split(key)
+        return {"tables": self._encoder().init(k_enc, dtype),
+                "head": self._head().init(k_mlp, dtype)}
+
+    def apply(self, params, coords: jax.Array) -> jax.Array:
+        x01 = (coords + 1.0) * 0.5
+        feats = self._encoder().apply(params["tables"], x01)
+        return self._head().apply(params["head"], feats)
+
+    def apply_fused(self, params, coords: jax.Array) -> jax.Array:
+        return self.apply(params, coords)
+
+    def point_fn(self, params):
+        return lambda x: self.apply(params, x)
+
+
+def get_network(cfg: Any, in_features: int, out_features: int):
+    """Network factory (reference base/networks.py:12-17; the reference's
+    'grid' choice raises NotImplementedError — here 'hashgrid' is real)."""
     if cfg.network == "siren":
         return MLP(in_features, out_features, cfg.num_hidden_layers,
                    cfg.hidden_features, nonlinearity=cfg.nonlinearity)
+    if cfg.network in ("grid", "hashgrid"):
+        return HashGridField(in_features, out_features,
+                             num_hidden_layers=cfg.num_hidden_layers,
+                             hidden_features=cfg.hidden_features)
     raise NotImplementedError(f"network={cfg.network}")

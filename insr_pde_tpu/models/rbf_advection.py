@@ -16,7 +16,7 @@ Reuses the RBF basis (models/rbf.py), the PaddedSparse/CGLS stack
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, NamedTuple
 
 import jax
@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linalg import PaddedSparse, cgls_sparse
-from .rbf import (RBFConfig, RBFParams, basis_dt, basis_dx, basis_val,
-                  column_ids, field_value, init_rbf, point_basis,
+from .rbf import (RBFConfig, basis_dt, basis_dx, basis_val, column_ids,
+                  field_value, init_rbf, point_basis,
                   structured_spacetime_idx)
 
 
@@ -126,8 +126,9 @@ class RBFAdvectionModel:
             inflow=np.arange(n_in, n_in + m),
             init=np.arange(n_in + m, n_in + m + n0))
 
-    def assemble(self):
-        cfg, pts, pb, rcfg = self.cfg, self.pts, self.pb, self.rbf_cfg
+    def assemble(self, pb=None):
+        cfg, pts, rcfg = self.cfg, self.pts, self.rbf_cfg
+        pb = self.pb if pb is None else pb
         K, J = cfg.neighbor_k * cfg.time_window, cfg.n_feat
         KJ = K * J
         vel = jnp.asarray(cfg.velocity)
@@ -172,9 +173,12 @@ class RBFAdvectionModel:
         """One CGLS pass over the full space-time system; returns the final
         least-squares residual norm."""
 
+        # pb as an argument: a closure would bake the gathered features
+        # into the HLO as constants (100s of MB at reference scale), which
+        # the tunneled-TPU compile path ships on every compilation
         @jax.jit
-        def run(u0):
-            A, b = self.assemble()
+        def run(u0, pb):
+            A, b = self.assemble(pb)
             # no Jacobi column scaling here: with Tikhonov damping it
             # re-amplifies weak (rarely-gathered) columns exactly where the
             # field is least constrained; per-block normalization + the
@@ -186,7 +190,7 @@ class RBFAdvectionModel:
                                   damp=self.cfg.cgls_damp)
             return x, jnp.linalg.norm(A.mv(x) - b)
 
-        x, res = run(self.params.u.reshape(-1) * 0.0)
+        x, res = run(self.params.u.reshape(-1) * 0.0, self.pb)
         self.params = self.params._replace(
             u=x.reshape(self.params.u.shape))
         return float(res)

@@ -181,8 +181,9 @@ class VortexModel:
 
     # ---------------- gradient-descent path (reference train/train_step,
     #                  vortex/model.py:230-267) ----------------
-    def residual_loss(self, u: jax.Array) -> jax.Array:
-        cfg, pts, pb = self.cfg, self.pts, self.pb
+    def residual_loss(self, u: jax.Array, pb=None) -> jax.Array:
+        cfg, pts = self.cfg, self.pts
+        pb = self.pb if pb is None else pb
         Eu = cfg.n_velocity
         val = field_value(pb, u)           # (Q, E)
         grad = field_grad(pb, u)           # (Q, E, D)
@@ -214,16 +215,19 @@ class VortexModel:
 
     def train(self, n_iters: int = 1):
         """Adam on the coefficient tensor (the only trainable leaf)."""
+        # pb passed as an argument: closing over it would bake ~10^2 MB
+        # of gathered features into the HLO as constants, which the
+        # tunneled-TPU compile path ships per compilation
         @jax.jit
-        def step(u, opt_state):
-            loss, g = jax.value_and_grad(self.residual_loss)(u)
+        def step(u, opt_state, pb):
+            loss, g = jax.value_and_grad(self.residual_loss)(u, pb)
             updates, opt_state = self.opt.update(g, opt_state, u)
             return optax.apply_updates(u, updates), opt_state, loss
 
         u, opt_state = self.params.u, self.opt_state
         loss = jnp.inf
         for _ in range(n_iters):
-            u, opt_state, loss = step(u, opt_state)
+            u, opt_state, loss = step(u, opt_state, self.pb)
             if self.tb is not None:
                 self.tb.add_scalars("vortex_train",
                                     {"loss": float(loss)}, self._step)
@@ -234,7 +238,8 @@ class VortexModel:
 
     # ---------------- linear least-squares path (reference matrix_solver /
     #                  sparse_matrix_recon, vortex/model.py:296-478) --------
-    def assemble(self, ubar: jax.Array) -> tuple[PaddedSparse, jax.Array]:
+    def assemble(self, ubar: jax.Array,
+                 pb=None) -> tuple[PaddedSparse, jax.Array]:
         """Build the Picard-linearized system rows as a PaddedSparse op.
 
         Row layout per block; each row's nonzeros are the K*J columns of the
@@ -242,7 +247,8 @@ class VortexModel:
         max-|val| normalized, matching the reference's per-block scaling
         (vortex/model.py:403-410).
         """
-        cfg, pts, pb = self.cfg, self.pts, self.pb
+        cfg, pts = self.cfg, self.pts
+        pb = self.pb if pb is None else pb
         rcfg = self.rbf_cfg
         Eu = cfg.n_velocity
         KJ = self.k_eff * cfg.n_feat
@@ -344,8 +350,8 @@ class VortexModel:
         cfg = self.cfg
 
         @jax.jit
-        def one_pass(u_flat):
-            A, b = self.assemble(u_flat.reshape(self.params.u.shape))
+        def one_pass(u_flat, pb):
+            A, b = self.assemble(u_flat.reshape(self.params.u.shape), pb)
             if solver == "cg":
                 normal = lambda X: A.rmv(A.mv(X[0, :, 0]))[None, :, None]
                 X, info = cg_batch(normal, A.rmv(b)[None, :, None],
@@ -363,7 +369,7 @@ class VortexModel:
 
         u_flat = self.params.u.reshape(-1)
         for it in range(cfg.picard_iters):
-            u_flat, res, niter = one_pass(u_flat)
+            u_flat, res, niter = one_pass(u_flat, self.pb)
             if self.tb is not None:
                 self.tb.add_scalars(
                     "vortex_matrix",

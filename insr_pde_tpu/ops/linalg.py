@@ -19,7 +19,6 @@ TPU-native replacements for the reference's three linear-solver backends
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

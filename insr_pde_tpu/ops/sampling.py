@@ -8,7 +8,6 @@ device-sharded by folding the mesh axis index into the key.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

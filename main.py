@@ -11,6 +11,9 @@ import sys
 import time
 
 from insr_pde_tpu.config import parse_args
+from insr_pde_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 from insr_pde_tpu.parallel import make_mesh
 
 

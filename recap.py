@@ -10,6 +10,9 @@ import os
 import sys
 
 from insr_pde_tpu.config import parse_args
+from insr_pde_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 from main import build_model
 
 

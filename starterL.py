@@ -9,6 +9,9 @@ linear least-squares path and writing per-slice visualizations.
 import argparse
 
 from insr_pde_tpu.models.vortex import VortexConfig, VortexModel
+from insr_pde_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main(argv=None):

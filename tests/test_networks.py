@@ -24,9 +24,14 @@ def test_factory_and_shapes():
     assert y.shape == (5, 3)
 
 
-def test_grid_network_not_implemented():
+def test_grid_network_is_hashgrid_and_unknown_raises():
+    """The reference's 'grid' choice raises NotImplementedError
+    (base/networks.py:12-17); here it maps to the real hash-grid field."""
+    from insr_pde_tpu.models.networks import HashGridField
     cfg = Cfg()
     cfg.network = "grid"
+    assert isinstance(get_network(cfg, 2, 3), HashGridField)
+    cfg.network = "nope"
     with pytest.raises(NotImplementedError):
         get_network(cfg, 2, 3)
 
@@ -74,3 +79,23 @@ def test_relu_and_elu_variants():
         y = net.apply(params, jnp.ones((4, 2)))
         assert y.shape == (4, 1)
         assert not bool(jnp.any(jnp.isnan(y)))
+
+
+def test_hashgrid_field_fits_signal(tmp_path):
+    """`--network hashgrid` end-to-end: the encoded field fits the advection
+    initial condition (reference's hash encoder is dead code; here it's a
+    usable backbone)."""
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.advection import Advection1DModel
+
+    cfg = Config(pde="advection", proj_dir=str(tmp_path), tag="hg",
+                 network="hashgrid", init_cond="example1",
+                 num_hidden_layers=2, hidden_features=32,
+                 sample_resolution=500, vis_resolution=100,
+                 max_n_iters=600, chunk_size=200, lr=5e-3,
+                 early_stop=False, vis_frequency=10 ** 9,
+                 backup_sources=False)
+    cfg.setup_dirs()
+    model = Advection1DModel(cfg)
+    res = model.initialize()
+    assert res.final_loss < 5e-3

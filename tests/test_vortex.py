@@ -201,3 +201,15 @@ def test_vortex_hat_pou_mode():
                             model.pts.t[model.pts.left])
     v = field_value(pb, model.params.u)
     assert abs(float(jnp.mean(v[:, 0])) - 1.0) < 0.5
+
+
+def test_structured_idx_distinct_at_boundaries(small_rbf):
+    """Slice windows must stay DISTINCT at t=0 and t=T (an endpoint clip
+    would duplicate sites and break the sparse assembly invariant)."""
+    from insr_pde_tpu.models.rbf import structured_spacetime_idx
+    cfg, p = small_rbf
+    x = jnp.zeros((3, 2))
+    for tval in (0.0, cfg.time_length / 2, cfg.time_length):
+        idx = structured_spacetime_idx(cfg, p, x, jnp.full(3, tval), 2)
+        row = np.asarray(idx[0])
+        assert len(set(row.tolist())) == len(row), f"dup sites at t={tval}"
