@@ -80,6 +80,12 @@ class VortexConfig:
     # rbf.point_basis docstring)
     pou: str = "simple"
     time_window: int = 2
+    # least-squares block weights (1.0 everywhere = reference parity, where
+    # balance comes only from row counts x per-block max normalization)
+    w_momentum: float = 1.0
+    w_continuity: float = 1.0
+    w_bc: float = 1.0          # free-slip / outlet / inlet rows
+    w_init: float = 1.0
 
 
 class SpaceTimePoints(NamedTuple):
@@ -258,13 +264,13 @@ class VortexModel:
 
         rows_vals, rows_cols, rhs_list = [], [], []
 
-        def add_block(vals, cols, rhs):
+        def add_block(vals, cols, rhs, weight=1.0):
             # vals/cols: (R, nnz_block); pad to nnz
             pad = nnz - vals.shape[1]
             if pad > 0:
                 vals = jnp.pad(vals, ((0, 0), (0, pad)))
                 cols = jnp.pad(cols, ((0, 0), (0, pad)))
-            scale = jnp.maximum(jnp.max(jnp.abs(vals)), 1e-30)
+            scale = jnp.maximum(jnp.max(jnp.abs(vals)), 1e-30) / weight
             rows_vals.append(vals / scale)
             rows_cols.append(cols)
             rhs_list.append(rhs / scale)
@@ -287,7 +293,7 @@ class VortexModel:
             vals = jnp.concatenate([v_d, v_p], axis=1)
             cols = jnp.concatenate([c_d, c_p], axis=1)
             rhs = jnp.full((vals.shape[0],), cfg.gravity * cfg.rho)
-            add_block(vals, cols, rhs)
+            add_block(vals, cols, rhs, weight=cfg.w_momentum)
 
         # -- continuity rows: sum_d d phi_d / d x_d
         v0 = bdx_i[:, :, 0, :, 0].reshape(-1, KJ)
@@ -295,7 +301,7 @@ class VortexModel:
         add_block(jnp.concatenate([v0, v1], axis=1),
                   jnp.concatenate([column_ids(rcfg, pbi.idx, 0),
                                    column_ids(rcfg, pbi.idx, 1)], axis=1),
-                  jnp.zeros(v0.shape[0]))
+                  jnp.zeros(v0.shape[0]), weight=cfg.w_continuity)
 
         # -- free-slip rows: u . n
         pbn = gather(pts.neu)
@@ -306,13 +312,13 @@ class VortexModel:
              for e in range(Eu)], axis=1)
         cols = jnp.concatenate(
             [column_ids(rcfg, pbn.idx, e) for e in range(Eu)], axis=1)
-        add_block(vals, cols, jnp.zeros(vals.shape[0]))
+        add_block(vals, cols, jnp.zeros(vals.shape[0]), weight=cfg.w_bc)
 
         # -- outlet pressure rows: p = 0
         pbd = gather(pts.dirp)
         add_block(basis_val(pbd)[:, :, Eu, :].reshape(-1, KJ),
                   column_ids(rcfg, pbd.idx, Eu),
-                  jnp.zeros(len(pts.dirp)))
+                  jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
 
         # -- inlet rows: u_e = (v_in, 0)
         pbl = gather(pts.left)
@@ -322,7 +328,8 @@ class VortexModel:
                 bval_l[:, :, e, :].reshape(-1, KJ),
                 column_ids(rcfg, pbl.idx, e),
                 jnp.full((len(pts.left),),
-                         cfg.internal_v if e == 0 else 0.0))
+                         cfg.internal_v if e == 0 else 0.0),
+                weight=cfg.w_bc)
 
         # -- initial rows: all variables zero at t=0
         pb0 = gather(pts.init)
@@ -331,7 +338,7 @@ class VortexModel:
             add_block(
                 bval_0[:, :, e, :].reshape(-1, KJ),
                 column_ids(rcfg, pb0.idx, e),
-                jnp.zeros(len(pts.init)))
+                jnp.zeros(len(pts.init)), weight=cfg.w_init)
 
         A = PaddedSparse(vals=jnp.concatenate(rows_vals, axis=0),
                          cols=jnp.concatenate(rows_cols, axis=0),

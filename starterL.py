@@ -36,9 +36,16 @@ def main(argv=None):
     ap.add_argument("--n_spatial_basis", type=int, default=400)
     ap.add_argument("--picard_iters", type=int, default=3)
     ap.add_argument("--cgls_maxiter", type=int, default=2000)
+    ap.add_argument("--rho", type=float, default=1000.0,
+                    help="reference default 1000 — note the reference's "
+                         "rho=1000 impulsive-start channel is ill-conditioned "
+                         "for any least-squares solver (its own notebook "
+                         "concedes the scene fails); rho~1 converges")
+    ap.add_argument("--internal_v", type=float, default=8.0)
     args = ap.parse_args(argv)
 
     cfg = VortexConfig(
+        rho=args.rho, internal_v=args.internal_v,
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,

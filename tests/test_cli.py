@@ -48,3 +48,15 @@ def test_config_json_snapshot(tmp_path):
         snap = json.load(f)
     assert snap["pde"] == "advection"
     assert snap["hidden_features"] == 16
+
+
+def test_train_cli_multidevice_mesh(tmp_path):
+    """--n_devices 8 on the virtual CPU mesh: collocation-sharded training
+    through the real CLI path."""
+    main_mod.main(["advection", "--tag", "cli_mesh", "--proj_dir",
+                   str(tmp_path), "--init_cond", "example1",
+                   "--num_hidden_layers", "2", "--hidden_features", "16",
+                   "-sr", "256", "-T", "1", "--max_n_iters", "40",
+                   "--chunk_size", "20", "--n_devices", "8",
+                   "--no-early_stop", "--no_backup"])
+    assert (tmp_path / "cli_mesh" / "results" / "t001.npz").exists()
