@@ -17,6 +17,6 @@ python main.py elasticity \
     --ratio_collide 1e4 \
     --ratio_kinematics 1e1 \
     -f_ext_x 0 \
-    -f_ext_y -2e2 \
+    -f_ext_y=-2e2 \
     -T_ext 2 \
     --early_stop

@@ -20,7 +20,7 @@ python main.py elasticity \
     --ratio_kinematics 1e0 \
     -f_ext_x 0 \
     -f_ext_y 0 \
-    -f_ext_z -2e1 \
+    -f_ext_z=-2e1 \
     -T_ext 10 \
     --plane_height -2 \
     --use_mesh 1 \
