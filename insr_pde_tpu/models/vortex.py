@@ -353,19 +353,29 @@ class VortexModel:
         solver='cgls' (default) is CG on the normal equations in factored
         form; solver='cg' runs `ops.linalg.cg_batch` on the explicit normal
         equations operator AᵀA — the path the reference's dense Vortex class
-        takes (least_square_solver + cg_batch, vortex/model.py:86-101)."""
+        takes (least_square_solver + cg_batch, vortex/model.py:86-101).
+
+        Assembly and the iterative solve are SEPARATE jit programs: the
+        merged program was observed to crash the tunneled-TPU worker at
+        reference scale, while the split programs run (and the split also
+        compiles far faster there)."""
         cfg = self.cfg
+        n_cols = self.rbf_cfg.n_coeffs
+
+        assemble_jit = jax.jit(
+            lambda u_flat, pb: self.assemble(
+                u_flat.reshape(self.params.u.shape), pb))
 
         @jax.jit
-        def one_pass(u_flat, pb):
-            A, b = self.assemble(u_flat.reshape(self.params.u.shape), pb)
+        def solve_jit(vals, cols, b, x0):
+            A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
             if solver == "cg":
                 normal = lambda X: A.rmv(A.mv(X[0, :, 0]))[None, :, None]
                 X, info = cg_batch(normal, A.rmv(b)[None, :, None],
                                    rtol=1e-6, maxiter=cfg.cgls_maxiter)
                 x, niter = X[0, :, 0], info["niter"]
             else:
-                x, info = cgls_sparse(A, b, u_flat.reshape(-1) * 0.0,
+                x, info = cgls_sparse(A, b, x0,
                                       maxiter=cfg.cgls_maxiter,
                                       tol=cfg.cgls_tol,
                                       precondition=cfg.cgls_damp == 0.0,
@@ -376,7 +386,8 @@ class VortexModel:
 
         u_flat = self.params.u.reshape(-1)
         for it in range(cfg.picard_iters):
-            u_flat, res, niter = one_pass(u_flat, self.pb)
+            A, b = assemble_jit(u_flat, self.pb)
+            u_flat, res, niter = solve_jit(A.vals, A.cols, b, u_flat * 0.0)
             if self.tb is not None:
                 self.tb.add_scalars(
                     "vortex_matrix",
