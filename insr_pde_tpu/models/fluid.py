@@ -20,8 +20,8 @@ import numpy as np
 from ..ops.diff import divergence, gradient, jacobian, laplace
 from ..ops.sampling import (sample_boundary2D_separate, sample_random,
                             sample_uniform)
-from ..utils.viz import (draw_curl, draw_magnitude, draw_vector_field2D,
-                         save_figure, save_numpy_img)
+from ..utils.viz import (draw_curl, draw_magnitude, draw_scalar_field2D,
+                         draw_vector_field2D, save_figure, save_numpy_img)
 from .base import BaseModel
 from .examples import get_examples
 
@@ -147,7 +147,8 @@ class Fluid2DModel(BaseModel):
 
         res_p = self._run_phase("solve_pressure", self._pressure_loss,
                                 self.fields["pressure"],
-                                aux={"vel": self.fields["velocity"]})
+                                aux={"vel": self.fields["velocity"]},
+                                vis_fn=self._vis_pressure)
         self.fields["pressure"] = res_p.params
 
         self.fields["velocity_prev"] = self.fields["velocity"]
@@ -167,6 +168,26 @@ class Fluid2DModel(BaseModel):
         out = self.vel_net.apply(params, grid)
         fig = draw_vector_field2D(np.asarray(out), np.asarray(grid))
         self.tb.add_figure("velocity", fig, global_step=self.train_step)
+
+    def _vis_pressure(self, params):
+        """Pressure-phase diagnostics: div u, lap p, p, grad p components,
+        pointwise residual (the reference's six per-phase panels,
+        fluid/model.py:171-185)."""
+        res = min(self.vis_resolution, 48)
+        grid = sample_uniform(res, 2, flatten=True)
+        vel_fn = self.vel_net.point_fn(self.fields["velocity"])
+        p_fn = self.p_net.point_fn(params)
+        div_u = divergence(vel_fn, grid)[:, 0]
+        lap_p = laplace(p_fn, grid)[:, 0]
+        p = self.p_net.apply(params, grid)[:, 0]
+        grad_p = gradient(p_fn, grid)
+        mse = (div_u - lap_p) ** 2
+        panels = {"pre_div": div_u, "pre_p_lap": lap_p, "pre_p": p,
+                  "pre_p_gradx": grad_p[:, 0], "pre_p_grady": grad_p[:, 1],
+                  "pre_mse": mse}
+        for tag, arr in panels.items():
+            fig = draw_scalar_field2D(np.asarray(arr).reshape(res, res))
+            self.tb.add_figure(tag, fig, global_step=self.train_step)
 
     def write_output(self, output_folder):
         """Quiver PNG + magnitude/curl images + raw velocity grid .npy
