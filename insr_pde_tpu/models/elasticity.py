@@ -133,7 +133,11 @@ class ElasticityModel(BaseModel):
 
     # ---- in-training samplers (pure functions of key; reference
     #      elasticity/model.py:198-250) ----
-    def _sample_in_training(self, key, n_random):
+    def _sample_in_training(self, key, n_random, resolution=None):
+        """resolution feeds the 'uniform' grid pattern (the reference
+        passes sample_resolution_init during the init fit,
+        elasticity/model.py:107-110,198-220)."""
+        resolution = resolution or self.sample_resolution
         parts = []
         for s in self.sample_pattern:
             key, sub = jax.random.split(key)
@@ -147,7 +151,7 @@ class ElasticityModel(BaseModel):
                 if self.use_mesh:
                     pts = self.mesh_V
                 else:
-                    pts = sample_uniform(self.sample_resolution, self.dim)
+                    pts = sample_uniform(resolution, self.dim)
             else:
                 raise NotImplementedError(f"sample_pattern {s!r}")
             parts.append(pts)
@@ -175,7 +179,8 @@ class ElasticityModel(BaseModel):
     # ---- pure loss functions ----
     def _init_loss(self, params, key, aux):
         """Fit displacement == 0 (reference elasticity/model.py:107-117)."""
-        x = self._sample_in_training(key, self.n_random_init)
+        x = self._sample_in_training(key, self.n_random_init,
+                                     resolution=self.sample_resolution_init)
         out = self.net.apply(params, x)
         return {"main": jnp.mean(out ** 2)}
 

@@ -213,3 +213,34 @@ def test_structured_idx_distinct_at_boundaries(small_rbf):
         idx = structured_spacetime_idx(cfg, p, x, jnp.full(3, tval), 2)
         row = np.asarray(idx[0])
         assert len(set(row.tolist())) == len(row), f"dup sites at t={tval}"
+
+
+def test_hat_pou_derivatives_match_autodiff():
+    """With hat PoUs the operator columns include dw/dx and dw/dt product
+    terms; they must match differentiating the value evaluation."""
+    from insr_pde_tpu.models.rbf import (RBFConfig, field_dt, field_grad,
+                                         field_value, init_rbf, point_basis,
+                                         structured_spacetime_idx)
+    cfg = RBFConfig(dim=2, n_vars=2, n_feat=3, n_spatial_basis=16,
+                    time_num=4, band_width=2.0, neighbor_k=4, seed=2,
+                    pou_width=2.0 / 4)
+    p = init_rbf(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 2), minval=-0.4,
+                           maxval=0.4)
+    t = jax.random.uniform(jax.random.PRNGKey(2), (5,), minval=0.1,
+                           maxval=0.9)
+    idx = structured_spacetime_idx(cfg, p, x, t, 2)
+
+    def val(xi, ti, ir):
+        pb = point_basis(cfg, p, xi[None], ti[None], idx=ir[None],
+                         time_pou="hat", space_pou="hat")
+        return field_value(pb, p.u)[0]
+
+    pb = point_basis(cfg, p, x, t, idx=idx, time_pou="hat", space_pou="hat")
+    jac_auto = jax.vmap(lambda a, b, c: jax.jacfwd(val)(a, b, c))(x, t, idx)
+    np.testing.assert_allclose(np.asarray(jac_auto),
+                               np.asarray(field_grad(pb, p.u)), atol=1e-4)
+    dt_auto = jax.vmap(lambda a, b, c: jax.jacfwd(val, argnums=1)(a, b, c))(
+        x, t, idx)
+    np.testing.assert_allclose(np.asarray(dt_auto),
+                               np.asarray(field_dt(pb, p.u)), atol=1e-4)
