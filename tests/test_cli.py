@@ -60,3 +60,20 @@ def test_train_cli_multidevice_mesh(tmp_path):
                    "--chunk_size", "20", "--n_devices", "8",
                    "--no-early_stop", "--no_backup"])
     assert (tmp_path / "cli_mesh" / "results" / "t001.npz").exists()
+
+
+def test_fluid_train_and_recap(tmp_path):
+    argv = ["fluid", "--tag", "cli_fluid", "--proj_dir", str(tmp_path),
+            "--init_cond", "taylorgreen", "--num_hidden_layers", "2",
+            "--hidden_features", "16", "-sr", "8", "-vr", "16", "-T", "1",
+            "--max_n_iters", "40", "--chunk_size", "20", "--no-early_stop",
+            "--no_backup"]
+    main_mod.main(argv)
+    exp = tmp_path / "cli_fluid"
+    assert (exp / "results" / "t001.npy").exists()
+    assert (exp / "results" / "t001_curl.png").exists()
+    recap_mod.main(["fluid", "--tag", "cli_fluid", "--proj_dir",
+                    str(tmp_path), "-vr", "16"])
+    a = np.load(exp / "results" / "t001.npy")
+    b = np.load(exp / "recap" / "t001.npy")
+    np.testing.assert_allclose(a, b, atol=1e-6)
