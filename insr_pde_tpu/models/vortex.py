@@ -362,27 +362,34 @@ class VortexModel:
         cfg = self.cfg
         n_cols = self.rbf_cfg.n_coeffs
 
-        assemble_jit = jax.jit(
-            lambda u_flat, pb: self.assemble(
-                u_flat.reshape(self.params.u.shape), pb))
+        if not hasattr(self, "_solver_jits"):
+            self._solver_jits = {}
+        if solver not in self._solver_jits:
+            assemble_jit = jax.jit(
+                lambda u_flat, pb: self.assemble(
+                    u_flat.reshape(self.params.u.shape), pb))
 
-        @jax.jit
-        def solve_jit(vals, cols, b, x0):
-            A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
-            if solver == "cg":
-                normal = lambda X: A.rmv(A.mv(X[0, :, 0]))[None, :, None]
-                X, info = cg_batch(normal, A.rmv(b)[None, :, None],
-                                   rtol=1e-6, maxiter=cfg.cgls_maxiter)
-                x, niter = X[0, :, 0], info["niter"]
-            else:
-                x, info = cgls_sparse(A, b, x0,
-                                      maxiter=cfg.cgls_maxiter,
-                                      tol=cfg.cgls_tol,
-                                      precondition=cfg.cgls_damp == 0.0,
-                                      damp=cfg.cgls_damp)
-                niter = info["niter"]
-            res = jnp.linalg.norm(A.mv(x) - b)
-            return x, res, niter
+            @jax.jit
+            def solve_jit(vals, cols, b, x0):
+                A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
+                if solver == "cg":
+                    normal = (lambda X:
+                              A.rmv(A.mv(X[0, :, 0]))[None, :, None])
+                    X, info = cg_batch(normal, A.rmv(b)[None, :, None],
+                                       rtol=1e-6, maxiter=cfg.cgls_maxiter)
+                    x, niter = X[0, :, 0], info["niter"]
+                else:
+                    x, info = cgls_sparse(A, b, x0,
+                                          maxiter=cfg.cgls_maxiter,
+                                          tol=cfg.cgls_tol,
+                                          precondition=cfg.cgls_damp == 0.0,
+                                          damp=cfg.cgls_damp)
+                    niter = info["niter"]
+                res = jnp.linalg.norm(A.mv(x) - b)
+                return x, res, niter
+
+            self._solver_jits[solver] = (assemble_jit, solve_jit)
+        assemble_jit, solve_jit = self._solver_jits[solver]
 
         u_flat = self.params.u.reshape(-1)
         for it in range(cfg.picard_iters):
