@@ -93,3 +93,26 @@ def test_fluid_init_matches_taylorgreen_and_projection_reduces_divergence(
     assert np.isfinite(div_after)
     # projection should not increase divergence by more than noise
     assert div_after < div_before * 1.5, (div_before, div_after)
+
+
+@pytest.mark.slow
+def test_fluid_taylorgreen_stays_near_steady(tmp_path):
+    """The 2D Taylor-Green field is a steady Euler solution: after a few
+    operator-splitting steps the simulated velocity should stay close to
+    the initial field (this is the paper's fluid experiment)."""
+    from insr_pde_tpu.models.fluid import Fluid2DModel
+    cfg = Config(
+        pde="fluid", proj_dir=str(tmp_path), tag="tg",
+        init_cond="taylorgreen", num_hidden_layers=3, hidden_features=32,
+        sample_resolution=32, vis_resolution=32, max_n_iters=2500,
+        chunk_size=500, early_stop=True, dt=0.05,
+        vis_frequency=10 ** 9, backup_sources=False)
+    cfg.setup_dirs()
+    model = Fluid2DModel(cfg)
+    model.initialize()
+    u0 = np.asarray(model.sample_field(32))
+    for _ in range(2):
+        model.step()
+    u2 = np.asarray(model.sample_field(32))
+    rel = np.linalg.norm(u2 - u0) / np.linalg.norm(u0)
+    assert rel < 0.25, f"Taylor-Green drifted {rel:.3f} after 2 steps"
