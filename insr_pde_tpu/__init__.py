@@ -9,7 +9,8 @@ time-discretized PDE residual at Monte-Carlo collocation points.
 Layer map (mirrors reference /root/reference, see SURVEY.md §1):
   L1 config   : insr_pde_tpu.config
   L2 runtime  : insr_pde_tpu.models.{networks,solver,base}, insr_pde_tpu.ops.{diff,sampling}
-  L3 utils    : insr_pde_tpu.utils.{geometry,meshio,...}, insr_pde_tpu.ops.{linalg,knn,encoding}
+  L3 domain   : insr_pde_tpu.geometry (mesh IO/sampling), insr_pde_tpu.ops.{linalg,knn,svd},
+                insr_pde_tpu.models.{rbf,encodings,elast_losses}, insr_pde_tpu.native (C fastmesh)
   L4 models   : insr_pde_tpu.models.{advection,fluid,elasticity,vortex}
   L5 entry    : main.py / recap.py / starterL.py / scripts/*.sh at the repo root
 Parallelism  : insr_pde_tpu.parallel (device mesh + shard_map collocation sharding)
