@@ -109,6 +109,74 @@ def probe_fluid():
                           "sec_per_timestep": round(t, 3)}))
 
 
+def probe_advect_scaling():
+    """Step time vs collocation count and width: flat => launch-bound,
+    linear => bandwidth/compute-bound."""
+    import tempfile
+
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.advection import Advection1DModel
+
+    for sr, hf in ((5000, 20), (50000, 20), (5000, 64), (50000, 64)):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = Config(pde="advection", proj_dir=tmp, tag=f"s{sr}_{hf}",
+                         init_cond="example1", num_hidden_layers=2,
+                         hidden_features=hf, sample_resolution=sr,
+                         vis_resolution=100, max_n_iters=2000,
+                         chunk_size=2000, early_stop=False,
+                         vis_frequency=10 ** 9, backup_sources=False)
+            cfg.setup_dirs()
+            model = Advection1DModel(cfg)
+            model.initialize()
+            model.step()
+            t = _time_steps(model.step, n=2)
+            print(json.dumps({"probe": "advect_scaling", "sr": sr,
+                              "hidden": hf,
+                              "sec_per_2000it_step": round(t, 3)}),
+                  flush=True)
+
+
+def probe_elasticity3d():
+    """3D mesh elasticity step time (SVD energies + on-device tet sampling)."""
+    import tempfile
+
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.elasticity import ElasticityModel
+    from insr_pde_tpu.geometry import box_tet_mesh
+
+    with tempfile.TemporaryDirectory() as tmp:
+        mesh_path = f"{tmp}/box.mesh"
+        V, T = box_tet_mesh(6)
+        with open(mesh_path, "w") as f:
+            f.write(f"MeshVersionFormatted 1\nDimension 3\nVertices\n{len(V)}\n")
+            for v in V:
+                f.write(f"{v[0]} {v[1]} {v[2]} 1\n")
+            f.write(f"Tetrahedra\n{len(T)}\n")
+            for t in T:
+                f.write(f"{t[0]+1} {t[1]+1} {t[2]+1} {t[3]+1} 1\n")
+            f.write("End\n")
+        cfg = Config(pde="elasticity", proj_dir=tmp, tag="e3d", dim=3,
+                     num_hidden_layers=3, hidden_features=66,
+                     sample_resolution=20, sample_resolution_init=8,
+                     vis_resolution=500, max_n_iters=1000, chunk_size=1000,
+                     early_stop=False, dt=0.1, use_mesh=True,
+                     mesh_path=mesh_path,
+                     energy=["arap", "kinematics", "collision", "external",
+                             "volume"],
+                     external_force_z=-100.0, plane_height=-2.0,
+                     vis_frequency=10 ** 9, backup_sources=False)
+        cfg.setup_dirs()
+        model = ElasticityModel(cfg)
+        model.initialize()
+        model.step()
+        t = _time_steps(model.step, n=2)
+        print(json.dumps({"probe": "elasticity3d", "samples": 20 ** 3,
+                          "mesh_verts": len(V), "iters": 1000,
+                          "sec_per_timestep": round(t, 3)}), flush=True)
+
+
 if __name__ == "__main__":
     {"prng": probe_prng, "pallas": probe_pallas,
-     "fluid": probe_fluid}[sys.argv[1]]()
+     "fluid": probe_fluid,
+     "advect_scaling": probe_advect_scaling,
+     "elasticity3d": probe_elasticity3d}[sys.argv[1]]()
