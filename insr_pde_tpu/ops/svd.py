@@ -78,17 +78,35 @@ def _singular_values_jvp(primals, tangents):
 #   (prod_i sigma_i - 1)^2 = (|det F| - 1)^2.
 
 
-def polar_rotation(F: jax.Array, n_iters: int = 8) -> jax.Array:
+def _inv_transpose(X: jax.Array) -> jax.Array:
+    """Closed-form inverse-transpose of (..., d, d) for d in {2, 3} via the
+    adjugate — elementwise ops only (no LU), which keeps the composite
+    training programs small."""
+    d = X.shape[-1]
+    det = jnp.linalg.det(X)[..., None, None]
+    if d == 2:
+        a, b = X[..., 0, 0], X[..., 0, 1]
+        c, e = X[..., 1, 0], X[..., 1, 1]
+        adj_t = jnp.stack([jnp.stack([e, -c], -1),
+                           jnp.stack([-b, a], -1)], -2)
+    elif d == 3:
+        c0 = jnp.cross(X[..., 1, :], X[..., 2, :])
+        c1 = jnp.cross(X[..., 2, :], X[..., 0, :])
+        c2 = jnp.cross(X[..., 0, :], X[..., 1, :])
+        adj_t = jnp.stack([c0, c1, c2], axis=-2)  # rows = cofactor rows
+    else:
+        return jnp.swapaxes(jnp.linalg.inv(X), -2, -1)
+    return adj_t / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+
+
+def polar_rotation(F: jax.Array, n_iters: int = 6) -> jax.Array:
     """Polar factor R = U V^T of (..., d, d) via Higham's Newton iteration
-    X <- (X + X^-T) / 2 (scale-invariant: F is pre-normalized)."""
+    X <- (X + X^-T) / 2 (scale-invariant: F is pre-normalized; quadratic
+    convergence — 6 steps reach f32 accuracy for well-conditioned F)."""
     norm = jnp.sqrt(jnp.sum(F ** 2, axis=(-2, -1), keepdims=True))
     X = F / jnp.maximum(norm, 1e-12)
-
-    def step(X, _):
-        Xinv_t = jnp.swapaxes(jnp.linalg.inv(X), -2, -1)
-        return 0.5 * (X + Xinv_t), None
-
-    X, _ = jax.lax.scan(step, X, None, length=n_iters)
+    for _ in range(n_iters):
+        X = 0.5 * (X + _inv_transpose(X))
     return X
 
 
