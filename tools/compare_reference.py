@@ -31,7 +31,40 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def _stub_module(name, attrs=()):
+    if name in sys.modules:
+        return
+    import importlib.machinery
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__path__ = []
+    for a in attrs:
+        setattr(mod, a, lambda *x, **k: (_ for _ in ()).throw(
+            RuntimeError(f"stubbed {name} called")))
+    sys.modules[name] = mod
+    return mod
+
+
 def _patch_torch_cpu():
+    # stubs for module-scope imports of the elasticity path that the
+    # harness never calls (meshio: only --use_mesh; open3d/sklearn: only
+    # PLY/figure output)
+    _stub_module("meshio", ["read"])
+    o3d = _stub_module("open3d")
+    if o3d is not None:
+        o3d.geometry = types.SimpleNamespace(PointCloud=object)
+        o3d.utility = types.SimpleNamespace(Vector3dVector=object)
+        o3d.io = types.SimpleNamespace(write_point_cloud=lambda *a, **k: None)
+    _stub_module("sklearn")
+    import importlib.machinery
+    skm = types.ModuleType("sklearn.metrics")
+    skm.__spec__ = importlib.machinery.ModuleSpec("sklearn.metrics",
+                                                  loader=None)
+    skm.zero_one_loss = lambda *a, **k: None
+    sys.modules.setdefault("sklearn.metrics", skm)
+    if "sklearn" in sys.modules:
+        sys.modules["sklearn"].metrics = skm
+
     # stub pytorch3d: imported at module scope by base/networks.py:4 but
     # only used by the RBF classes, which this harness never instantiates
     if "pytorch3d" not in sys.modules:
@@ -79,6 +112,19 @@ def _patch_base_model_cpu():
     BaseModel.__init__ = patched
 
 
+ELA_ENERGY = ["arap", "constraint", "constraint_right", "volume"]
+ELA_KW = dict(dim=2, use_mesh=False, mesh_path="",
+              sample_pattern=["random", "uniform"],
+              ratio_arap=1.0, ratio_volume=1e3, ratio_constraint=1e4,
+              ratio_collide=1.0, ratio_kinematics=1.0,
+              external_force_timesteps=0, external_force_x=0.0,
+              external_force_y=0.0, external_force_z=0.0,
+              constraint_right_offset_x=1.0, constraint_right_offset_y=0.0,
+              constraint_right_offset_z=0.0, plane_height=-2.0,
+              collide_circle_x=0.0, collide_circle_y=-2.0,
+              collide_circle_z=0.0, collide_circle_radius=1.0)
+
+
 def _ref_cfg(tmp, args):
     cfg = types.SimpleNamespace(
         dt=args.dt, max_n_iters=args.max_n_iters,
@@ -88,38 +134,58 @@ def _ref_cfg(tmp, args):
         hidden_features=args.hidden_features, nonlinearity="sine",
         lr=args.lr, early_stop=args.early_stop, vis_frequency=10 ** 9,
         init_cond=args.init_cond, length=args.length, vel=args.vel,
+        energy=list(ELA_ENERGY),
         exp_dir=os.path.join(tmp, "ref"),
         log_dir=os.path.join(tmp, "ref_log"),
         model_dir=os.path.join(tmp, "ref_model"),
+        **ELA_KW,
     )
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.model_dir, exist_ok=True)
     return cfg
 
 
+def _ela_grid(n=40):
+    xs = np.linspace(-0.95, 0.95, n, dtype=np.float32)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    return np.stack([xx.ravel(), yy.ravel()], axis=1)
+
+
 def run_reference(args, tmp):
     sys.path.insert(0, REF_PATH)
     _patch_torch_cpu()
-    import torch
+    import torch  # noqa: F811 (used for grids below)
     torch.manual_seed(args.seed)
     cwd = os.getcwd()
     os.chdir(REF_PATH)
     try:
         if args.pde == "advection":
             from advection import Advection1DModel as RefModel
-        else:
+        elif args.pde == "fluid":
             from fluid import Fluid2DModel as RefModel
+        else:
+            from elasticity import ElasticityModel as RefModel
         _patch_base_model_cpu()
         cfg = _ref_cfg(tmp, args)
         model = RefModel(cfg)
+        if args.pde == "elasticity":
+            # the reference hard-codes 500^2-point init sampling
+            # (elasticity/model.py:62-70) — impractical on CPU torch
+            model.sample_resolution_init = args.sample_resolution
         fields = []
         for t in range(args.n_timesteps + 1):
             if t == 0:
                 model.initialize()
             else:
                 model.step()
-            out = model.sample_field(args.vis_resolution)
-            fields.append(np.asarray(out.detach().cpu().numpy()))
+            if args.pde == "elasticity":
+                grid = torch.from_numpy(_ela_grid())
+                with torch.no_grad():
+                    out = model.deformation_field(grid)
+                fields.append(out.cpu().numpy())
+            else:
+                out = model.sample_field(args.vis_resolution)
+                fields.append(np.asarray(out.detach().cpu().numpy()))
         return fields
     finally:
         os.chdir(cwd)
@@ -141,25 +207,40 @@ def run_ours(args, tmp):
         seed=args.seed,
     )
     cfg.setup_dirs()
+    if args.pde == "elasticity":
+        cfg.energy = list(ELA_ENERGY)
+        for k, v in ELA_KW.items():
+            setattr(cfg, k, v)
+        cfg.sample_resolution_init = args.sample_resolution
     if args.pde == "advection":
         from insr_pde_tpu.models.advection import Advection1DModel
         model = Advection1DModel(cfg)
-    else:
+    elif args.pde == "fluid":
         from insr_pde_tpu.models.fluid import Fluid2DModel
         model = Fluid2DModel(cfg)
+    else:
+        from insr_pde_tpu.models.elasticity import ElasticityModel
+        model = ElasticityModel(cfg)
     fields = []
     for t in range(args.n_timesteps + 1):
         if t == 0:
             model.initialize()
         else:
             model.step()
-        fields.append(np.asarray(model.sample_field(args.vis_resolution)))
+        if args.pde == "elasticity":
+            import jax.numpy as jnp
+            out = model.net.apply(model.fields["deformation"],
+                                  jnp.asarray(_ela_grid()))
+            fields.append(np.asarray(out))
+        else:
+            fields.append(np.asarray(model.sample_field(
+                args.vis_resolution)))
     return fields
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pde", choices=["advection", "fluid"],
+    ap.add_argument("--pde", choices=["advection", "fluid", "elasticity"],
                     default="advection")
     ap.add_argument("-T", "--n_timesteps", type=int, default=5)
     ap.add_argument("--max_n_iters", type=int, default=5000)
@@ -183,6 +264,10 @@ def main():
     if args.init_cond is None:
         args.init_cond = ("example1" if args.pde == "advection"
                           else "taylorgreen")
+    if args.pde == "elasticity":
+        args.num_hidden_layers = 3
+        args.hidden_features = 68
+        args.sample_resolution = min(args.sample_resolution, 30)
     if args.pde == "fluid":
         args.num_hidden_layers = 3
         args.hidden_features = 32
