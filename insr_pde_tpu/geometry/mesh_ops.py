@@ -210,3 +210,43 @@ def boundary_faces(T: np.ndarray) -> np.ndarray:
     _, idx, counts = np.unique(sorted_f, return_index=True,
                                return_counts=True, axis=0)
     return all_f[idx[counts == 1]]
+
+
+def sample_spc(key, corners: jax.Array, level: int,
+               num_samples: int) -> jax.Array:
+    """Uniform samples inside structured-point-cloud voxels: jitter within
+    each corner's unit cell at `level`, mapped to [-1, 1]^3.
+    Reference: torchgp/sample_spc.py:26-44 (kaolin SPC leftover; exported
+    but unused by any reference model)."""
+    res = 2.0 ** level
+    jitter = jax.random.uniform(key, (corners.shape[0], num_samples, 3),
+                                corners.dtype)
+    samples = (corners[:, None, :3] + jitter).reshape(-1, 3) / res
+    return samples * 2.0 - 1.0
+
+
+def sample_tex(uv: jax.Array, material_idx: jax.Array,
+               textures: jax.Array) -> jax.Array:
+    """RGB lookup at (N, 2) uv coords with bilinear interpolation.
+
+    textures: (M, H, W, 3) stack of material images (uniform size; the
+    gather-based bilinear replaces torch grid_sample). The v axis is flipped
+    to match image row order, as the reference notes
+    (torchgp/sample_tex.py:37-38). Reference: torchgp/sample_tex.py:27-60
+    (kaolin leftover; exported but unused by any reference model)."""
+    h, w = textures.shape[1], textures.shape[2]
+    u = jnp.clip(uv[:, 0], 0.0, 1.0) * (w - 1)
+    v = (1.0 - jnp.clip(uv[:, 1], 0.0, 1.0)) * (h - 1)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    fu = (u - u0)[:, None]
+    fv = (v - v0)[:, None]
+    m = material_idx
+    c00 = textures[m, v0, u0]
+    c01 = textures[m, v0, u1]
+    c10 = textures[m, v1, u0]
+    c11 = textures[m, v1, u1]
+    return ((1 - fv) * ((1 - fu) * c00 + fu * c01)
+            + fv * ((1 - fu) * c10 + fu * c11))

@@ -106,3 +106,26 @@ def test_read_medit_roundtrip(tmp_path):
     assert np.allclose(data.points, V)
     assert np.array_equal(data.cells_dict["tetra"], T)
     assert np.array_equal(data.cells_dict["triangle"], SF)
+
+
+def test_sample_spc_in_bounds():
+    from insr_pde_tpu.geometry import sample_spc
+    corners = jnp.asarray([[0, 0, 0], [3, 3, 3]], jnp.float32)
+    pts = sample_spc(jax.random.PRNGKey(0), corners, level=2, num_samples=50)
+    assert pts.shape == (100, 3)
+    assert float(jnp.min(pts)) >= -1.0 and float(jnp.max(pts)) <= 1.0
+
+
+def test_sample_tex_bilinear():
+    from insr_pde_tpu.geometry import sample_tex
+    # 2x2 texture: corners with known colors; uv (0,1)=top-left row 0
+    tex = jnp.asarray([[[[1, 0, 0], [0, 1, 0]],
+                        [[0, 0, 1], [1, 1, 1]]]], jnp.float32)
+    uv = jnp.asarray([[0.0, 1.0], [1.0, 1.0], [0.0, 0.0], [0.5, 0.5]])
+    idx = jnp.zeros(4, jnp.int32)
+    rgb = sample_tex(uv, idx, tex)
+    np.testing.assert_allclose(np.asarray(rgb[0]), [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb[1]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb[2]), [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb[3]), [0.5, 0.5, 0.5],
+                               atol=1e-6)
