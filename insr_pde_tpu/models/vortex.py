@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.linalg import PaddedSparse, cg_batch, cgls_sparse
+from ..ops.linalg import (PaddedSparse, cg_batch, cgls_sparse,
+                          cgls_sparse_sharded)
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, basis_dt, basis_dx, basis_val, column_ids,
@@ -152,7 +153,10 @@ def _scaled_mse(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
 class VortexModel:
     """Both solver paths over one shared geometry/basis setup."""
 
-    def __init__(self, cfg: VortexConfig, log: bool = True):
+    def __init__(self, cfg: VortexConfig, log: bool = True,
+                 mesh=None, mesh_axis: str = "data"):
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.cfg = cfg
         tmp = RBFConfig(dim=cfg.dim, n_spatial_basis=cfg.n_spatial_basis)
         self.rbf_cfg = RBFConfig(
@@ -394,7 +398,17 @@ class VortexModel:
         u_flat = self.params.u.reshape(-1)
         for it in range(cfg.picard_iters):
             A, b = assemble_jit(u_flat, self.pb)
-            u_flat, res, niter = solve_jit(A.vals, A.cols, b, u_flat * 0.0)
+            if self.mesh is not None and solver == "cgls":
+                # rows sharded over the mesh, psum over ICI
+                A = PaddedSparse(vals=A.vals, cols=A.cols, n_cols=n_cols)
+                x, info = cgls_sparse_sharded(
+                    self.mesh, self.mesh_axis, A, b, u_flat * 0.0,
+                    maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
+                    damp=cfg.cgls_damp)
+                u_flat, res, niter = x, info["resnorm"], -1
+            else:
+                u_flat, res, niter = solve_jit(A.vals, A.cols, b,
+                                               u_flat * 0.0)
             if self.tb is not None:
                 self.tb.add_scalars(
                     "vortex_matrix",

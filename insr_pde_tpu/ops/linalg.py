@@ -111,7 +111,8 @@ def cg_solve(A_bmm: Callable, B: jax.Array, **kw) -> jax.Array:
 
 
 def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
-         maxiter: int = 500, tol: float = 1e-8, damp: float = 0.0):
+         maxiter: int = 500, tol: float = 1e-8, damp: float = 0.0,
+         rows_reduce: Callable = jnp.sum):
     """Damped least squares min_x |A x - b|^2 + damp^2 |x|^2 via CGLS
     (CG on the regularized normal equations in factored form;
     LSQR-with-damp-equivalent in exact arithmetic, and the numerically
@@ -120,6 +121,8 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
     A_mv: x -> A @ x (rows space), At_mv: r -> Aᵀ @ r (cols space).
     Returns (x, info dict with 'niter', 'resnorm' |Aᵀ(Ax-b) - damp² x|).
     """
+    # rows_reduce: reduction over row-space quantities — jnp.sum locally,
+    # or a psum-wrapped sum when rows are sharded over a mesh axis
     d2 = damp * damp
     r0 = b - A_mv(x0)
     s0 = At_mv(r0) - d2 * x0
@@ -138,7 +141,7 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
 
     def step(st: _State):
         q = A_mv(st.p)
-        denom = jnp.sum(q * q) + d2 * jnp.sum(st.p * st.p)
+        denom = rows_reduce(q * q) + d2 * jnp.sum(st.p * st.p)
         alpha = st.gamma / jnp.where(denom == 0, 1e-30, denom)
         x = st.x + alpha * st.p
         r = st.r - alpha * q
@@ -202,3 +205,52 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                        maxiter=maxiter, tol=tol, damp=damp)
         return d * x, info
     return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol, damp=damp)
+
+
+def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
+                        x0: jax.Array, maxiter: int = 500,
+                        tol: float = 1e-8, damp: float = 0.0):
+    """Row-sharded damped CGLS over a device mesh.
+
+    The ELL rows (vals/cols/b) are sharded along `axis`; the solution vector
+    is replicated. Per iteration: A@x is embarrassingly parallel over row
+    shards, Aᵀ@r is a local segment-sum followed by a psum over ICI, and the
+    row-space inner products psum. This is the idiomatic multi-chip layout
+    for the vortex space-time least-squares system (the reference is
+    single-GPU + CPU scipy lsqr, SURVEY §2.13).
+    """
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    R = A.vals.shape[0]
+    pad = (-R) % n_dev
+    vals = jnp.pad(A.vals, ((0, pad), (0, 0)))
+    cols = jnp.pad(A.cols, ((0, pad), (0, 0)))
+    b_p = jnp.pad(b, (0, pad))
+    n_cols = A.n_cols
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P()),
+             out_specs=(P(), P()))
+    def run(vals, cols, b, x0):
+        def A_mv(x):
+            return jnp.sum(vals * x[cols], axis=-1)
+
+        def At_mv(r):
+            contrib = (vals * r[:, None]).reshape(-1)
+            local = jax.ops.segment_sum(contrib, cols.reshape(-1),
+                                        num_segments=n_cols)
+            return jax.lax.psum(local, axis)
+
+        def rows_reduce(q):
+            return jax.lax.psum(jnp.sum(q), axis)
+
+        x, info = cgls(A_mv, At_mv, b, x0, maxiter=maxiter, tol=tol,
+                       damp=damp, rows_reduce=rows_reduce)
+        return x, info["resnorm"]
+
+    x, resnorm = run(vals, cols, b_p, x0)
+    return x, {"resnorm": resnorm}

@@ -106,3 +106,19 @@ def test_cgls_sparse_with_preconditioning():
             dense[i, int(A.cols[i, j])] += float(A.vals[i, j])
     x_ref = np.linalg.lstsq(dense, np.asarray(b), rcond=None)[0]
     assert np.allclose(np.asarray(x), x_ref, atol=1e-3)
+
+
+def test_cgls_sparse_sharded_matches_single_device():
+    """Row-sharded CGLS over the 8-device mesh == single-device solution."""
+    from jax.sharding import Mesh
+    from insr_pde_tpu.ops.linalg import cgls_sparse_sharded
+
+    A = _random_padded_sparse(jax.random.PRNGKey(20), R=203, C=40, nnz=6)
+    b = jax.random.normal(jax.random.PRNGKey(21), (203,))
+    x_ref, _ = cgls_sparse(A, b, jnp.zeros(40), maxiter=400, tol=1e-12,
+                           precondition=False, damp=1e-3)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    x_sh, info = cgls_sparse_sharded(mesh, "rows", A, b, jnp.zeros(40),
+                                     maxiter=400, tol=1e-12, damp=1e-3)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               atol=5e-4)
