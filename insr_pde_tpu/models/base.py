@@ -146,13 +146,15 @@ class BaseModel:
             path = os.path.join(self.cfg.model_dir,
                                 f"ckpt_step_t{name:03d}.npz")
         elif name == "latest":
-            steps = sorted(
+            steps = [
                 f for f in os.listdir(self.cfg.model_dir)
-                if f.startswith("ckpt_step_t") and f.endswith(".npz"))
+                if f.startswith("ckpt_step_t") and f.endswith(".npz")]
             if not steps:
                 raise FileNotFoundError(
                     f"no per-step checkpoints in {self.cfg.model_dir}")
-            path = os.path.join(self.cfg.model_dir, steps[-1])
+            # numeric max, not lexicographic: 't1000' sorts before 't999'
+            latest = max(steps, key=lambda f: int(f[len("ckpt_step_t"):-4]))
+            path = os.path.join(self.cfg.model_dir, latest)
         else:
             path = os.path.join(self.cfg.model_dir, f"ckpt_{name}.npz")
         self.fields, meta = load_pytree(path, self.fields)

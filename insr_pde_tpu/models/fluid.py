@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.diff import divergence, gradient, jacobian, laplace
-from ..ops.forward_laplacian import value_grad, value_grad_laplacian
 from ..ops.sampling import (sample_boundary2D_separate, sample_random,
                             sample_uniform)
 from ..utils.viz import (draw_curl, draw_magnitude, draw_scalar_field2D,
@@ -85,21 +84,23 @@ class Fluid2DModel(BaseModel):
         """Poisson residual div u = lap p (rho=1 as the reference,
         fluid/model.py:103-125) + Neumann BC grad(p).n = 0.
 
-        All derivatives come from the batched forward-Laplacian chain
+        Derivatives come from the networks' `value_grad*` methods: sine
+        MLPs use the batched forward-Laplacian chain
         (ops/forward_laplacian.py) instead of per-point nested autodiff —
-        this phase is the reference's hottest region (SURVEY.md §3.1)."""
+        this phase is the reference's hottest region (SURVEY.md §3.1) —
+        while relu/elu/hashgrid nets dispatch to the autodiff path."""
         k1, k2, k3 = jax.random.split(key, 3)
         x = sample_random(k1, self.n_samples, 2)
 
-        _, J_u = value_grad(aux["vel"], x)
+        _, J_u = self.vel_net.value_grad(aux["vel"], x)
         div_u = jax.lax.stop_gradient(J_u[:, 0, 0] + J_u[:, 1, 1])
-        lap_p = value_grad_laplacian(params, x)[2][:, 0]
+        lap_p = self.p_net.value_grad_laplacian(params, x)[2][:, 0]
         main = jnp.mean((div_u - lap_p) ** 2)
 
         bx = sample_boundary2D_separate(k2, self.n_boundary, "horizontal")
         by = sample_boundary2D_separate(k3, self.n_boundary, "vertical")
-        grad_px = value_grad(params, bx)[1][:, 0, 0]
-        grad_py = value_grad(params, by)[1][:, 1, 0]
+        grad_px = self.p_net.value_grad(params, bx)[1][:, 0, 0]
+        grad_py = self.p_net.value_grad(params, by)[1][:, 1, 0]
         bc = jnp.mean(grad_px ** 2) + jnp.mean(grad_py ** 2)
         return {"main": main, "bc": bc}
 
@@ -109,7 +110,7 @@ class Fluid2DModel(BaseModel):
         x = sample_random(k1, self.n_samples, 2)
 
         u_prev = self.vel_net.apply(aux["prev"], x)
-        grad_p = value_grad(aux["pressure"], x)[1][:, :, 0]
+        grad_p = self.p_net.value_grad(aux["pressure"], x)[1][:, :, 0]
         target = jax.lax.stop_gradient(u_prev - grad_p)
 
         u = self.vel_net.apply(params, x)

@@ -108,6 +108,29 @@ class MLP:
         for use with ops.diff transforms."""
         return lambda x: self.apply(params, x)
 
+    @property
+    def _is_siren(self) -> bool:
+        return self.nonlinearity == "sine" and self.outermost_linear
+
+    def value_grad(self, params: Params, coords: jax.Array):
+        """(u (N, m), J (N, d, m)): batched forward-Laplacian chain for the
+        sine MLP, vmapped-jacfwd autodiff otherwise — the fast path is only
+        valid for the exact sin(ω0·) layer chain (ADVICE r1: relu/elu nets
+        must not get sine derivatives)."""
+        if self._is_siren:
+            from ..ops.forward_laplacian import value_grad as _vg
+            return _vg(params, coords)
+        return _value_grad_autodiff(self.point_fn(params),
+                                    lambda x: self.apply(params, x), coords)
+
+    def value_grad_laplacian(self, params: Params, coords: jax.Array):
+        """(u (N, m), J (N, d, m), L (N, m)); same dispatch as value_grad."""
+        if self._is_siren:
+            from ..ops.forward_laplacian import value_grad_laplacian as _vgl
+            return _vgl(params, coords)
+        return _value_grad_laplacian_autodiff(
+            self.point_fn(params), lambda x: self.apply(params, x), coords)
+
     def apply_fused(self, params: Params, coords: jax.Array) -> jax.Array:
         """Forward via the Pallas fused kernel (ops/pallas_siren.py): the
         whole layer chain stays in VMEM per batch tile. Sine nonlinearity
@@ -175,6 +198,35 @@ class HashGridField:
 
     def point_fn(self, params):
         return lambda x: self.apply(params, x)
+
+    def value_grad(self, params, coords: jax.Array):
+        return _value_grad_autodiff(self.point_fn(params),
+                                    lambda x: self.apply(params, x), coords)
+
+    def value_grad_laplacian(self, params, coords: jax.Array):
+        # NB: multilinear interpolation has zero 2nd derivatives a.e. — the
+        # Poisson pressure loss degenerates; see the class docstring caveat.
+        return _value_grad_laplacian_autodiff(
+            self.point_fn(params), lambda x: self.apply(params, x), coords)
+
+
+def _value_grad_autodiff(point_fn, batch_fn, coords: jax.Array):
+    """Autodiff fallback matching ops/forward_laplacian conventions:
+    returns (u (N, m), J (N, d, m))."""
+    from ..ops.diff import jacobian
+    u = batch_fn(coords)
+    J = jacobian(point_fn, coords)          # (N, m, d)
+    return u, jnp.swapaxes(J, 1, 2)
+
+
+def _value_grad_laplacian_autodiff(point_fn, batch_fn, coords: jax.Array):
+    """Autodiff fallback: (u (N, m), J (N, d, m), L (N, m))."""
+    from ..ops.diff import hessian, jacobian
+    u = batch_fn(coords)
+    J = jacobian(point_fn, coords)          # (N, m, d)
+    H = hessian(point_fn, coords)           # (N, m, d, d)
+    L = jnp.trace(H, axis1=2, axis2=3)      # (N, m)
+    return u, jnp.swapaxes(J, 1, 2), L
 
 
 def get_network(cfg: Any, in_features: int, out_features: int):

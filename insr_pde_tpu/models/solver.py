@@ -222,7 +222,11 @@ class Solver:
                 history.setdefault(k, []).append(v[:n_active] if n_active < n else v)
             it += n
             if callback is not None:
-                callback(it, state.params, {k: v[-1] for k, v in outs.items()})
+                # report the last *active* loss, not the value logged after
+                # the freeze latch (it is stale once early-stop triggers)
+                last = max(n_active - 1, 0) if n_active < n else n - 1
+                callback(it, state.params,
+                         {k: v[last] for k, v in outs.items()})
             if n_active < n:  # early-stopped inside this chunk
                 it = it - n + n_active
                 break

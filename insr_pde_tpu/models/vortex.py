@@ -392,10 +392,20 @@ class VortexModel:
                 res = jnp.linalg.norm(A.mv(x) - b)
                 return x, res, niter
 
-            self._solver_jits[solver] = (assemble_jit, solve_jit)
-        assemble_jit, solve_jit = self._solver_jits[solver]
+            @jax.jit
+            def residual_jit(vals, cols, b, x):
+                A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
+                return jnp.linalg.norm(A.mv(x) - b)
 
+            self._solver_jits[solver] = (assemble_jit, solve_jit,
+                                         residual_jit)
+        assemble_jit, solve_jit, residual_jit = self._solver_jits[solver]
+
+        if cfg.picard_iters < 1:
+            raise ValueError(f"picard_iters must be >= 1, got "
+                             f"{cfg.picard_iters}")
         u_flat = self.params.u.reshape(-1)
+        res = jnp.nan
         for it in range(cfg.picard_iters):
             A, b = assemble_jit(u_flat, self.pb)
             if self.mesh is not None and solver == "cgls":
@@ -405,7 +415,10 @@ class VortexModel:
                     self.mesh, self.mesh_axis, A, b, u_flat * 0.0,
                     maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
                     damp=cfg.cgls_damp)
-                u_flat, res, niter = x, info["resnorm"], -1
+                # report |Ax - b| like the unsharded branch (info carries
+                # |Aᵀr|, a different quantity — logs must be comparable)
+                u_flat, niter = x, info["niter"]
+                res = residual_jit(A.vals, A.cols, b, x)
             else:
                 u_flat, res, niter = solve_jit(A.vals, A.cols, b,
                                                u_flat * 0.0)

@@ -19,19 +19,38 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastmesh.c")
 _SO = os.path.join(_HERE, "_fastmesh.so")
+_SO_HASH = _SO + ".sha256"  # content hash of the source the .so was built from
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    # The binary is never committed (gitignored); a cached .so is reused only
+    # when the sidecar hash matches the current source content — mtimes are
+    # unreliable after checkout and a stale/committed blob must never win.
+    want = _src_hash()
+    try:
+        with open(_SO_HASH) as f:
+            have = f.read().strip()
+    except OSError:
+        have = ""
+    if os.path.exists(_SO) and have == want:
         return _SO
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
                 [cc, "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True, capture_output=True, timeout=120)
+            with open(_SO_HASH, "w") as f:
+                f.write(want)
             return _SO
         except (OSError, subprocess.SubprocessError):
             continue
@@ -55,7 +74,7 @@ def _load():
                                  ctypes.POINTER(i64), ctypes.POINTER(i64)]
         lib.fm_parse.restype = ctypes.c_int
         lib.fm_parse.argtypes = [
-            ctypes.c_char_p, i64, i64,
+            ctypes.c_char_p, i64, i64, i64, i64, i64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
@@ -78,14 +97,19 @@ def read_medit_native(path: str):
         buf = f.read()
     i64 = ctypes.c_longlong
     dim, nv, ntri, ntet = i64(), i64(), i64(), i64()
-    if lib.fm_count(buf, len(buf), ctypes.byref(dim), ctypes.byref(nv),
-                    ctypes.byref(ntri), ctypes.byref(ntet)) != 0:
-        raise ValueError(f"{path}: truncated MEDIT file")
+    rc = lib.fm_count(buf, len(buf), ctypes.byref(dim), ctypes.byref(nv),
+                      ctypes.byref(ntri), ctypes.byref(ntet))
+    if rc != 0:
+        what = "duplicate section in" if rc == 2 else "truncated"
+        raise ValueError(f"{path}: {what} MEDIT file")
     verts = np.empty((nv.value, 3), np.float64)
     tris = np.empty((max(ntri.value, 1), 3), np.int64)
     tets = np.empty((max(ntet.value, 1), 4), np.int64)
-    if lib.fm_parse(buf, len(buf), dim.value, verts, tris, tets) != 0:
-        raise ValueError(f"{path}: truncated MEDIT file")
+    rc = lib.fm_parse(buf, len(buf), dim.value, nv.value, ntri.value,
+                      ntet.value, verts, tris, tets)
+    if rc != 0:
+        what = "inconsistent counts in" if rc == 2 else "truncated"
+        raise ValueError(f"{path}: {what} MEDIT file")
     cells = {}
     if ntri.value:
         cells["triangle"] = tris

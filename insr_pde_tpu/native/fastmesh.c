@@ -8,7 +8,11 @@
  *
  * Protocol (ctypes):
  *   fm_count(buf, len, &dim, &nv, &ntri, &ntet) -> 0 on success
- *   fm_parse(buf, len, dim, verts[nv*3], tris[ntri*3], tets[ntet*4]) -> 0
+ *     (1 = truncated, 2 = duplicate section: counts would be ambiguous)
+ *   fm_parse(buf, len, dim, nv, ntri, ntet,
+ *            verts[nv*3], tris[ntri*3], tets[ntet*4]) -> 0
+ *     writes are bounded by the counts from fm_count, so a file that
+ *     changed (or lies) between passes can never overflow the buffers.
  * Vertices are zero-padded to 3 components; element indices converted to
  * 0-based. Unknown sections are skipped. Case-insensitive keywords.
  */
@@ -90,9 +94,12 @@ int fm_count(const char *buf, i64 len, i64 *dim, i64 *nv, i64 *ntri,
             if (s < 0) continue; /* unknown scalar keyword */
             i64 count; p = parse_i64(p, end, &count);
             int width = (SECTIONS[s].nv ? SECTIONS[s].nv : (int)*dim) + 1;
-            if (s == 0) *nv = count;
-            else if (SECTIONS[s].nv == 3) *ntri = count;
-            else if (token_ieq(tok, tlen, "tetrahedra")) *ntet = count;
+            /* duplicate counted sections make buffer sizing ambiguous */
+            if (s == 0) { if (*nv) return 2; *nv = count; }
+            else if (SECTIONS[s].nv == 3) { if (*ntri) return 2; *ntri = count; }
+            else if (token_ieq(tok, tlen, "tetrahedra")) {
+                if (*ntet) return 2; *ntet = count;
+            }
             /* skip the numbers */
             for (i64 i = 0; i < count * width; i++) {
                 const char *t2; i64 l2;
@@ -104,9 +111,10 @@ int fm_count(const char *buf, i64 len, i64 *dim, i64 *nv, i64 *ntri,
     return 0;
 }
 
-/* Pass 2: fill caller-allocated arrays. */
-int fm_parse(const char *buf, i64 len, i64 dim, double *verts, i64 *tris,
-             i64 *tets) {
+/* Pass 2: fill caller-allocated arrays. nv/ntri/ntet are the buffer
+ * capacities from fm_count; a section claiming more rows is an error. */
+int fm_parse(const char *buf, i64 len, i64 dim, i64 nv, i64 ntri, i64 ntet,
+             double *verts, i64 *tris, i64 *tets) {
     const char *p = buf, *end = buf + len;
     while (p < end) {
         const char *tok; i64 tlen;
@@ -120,6 +128,8 @@ int fm_parse(const char *buf, i64 len, i64 dim, double *verts, i64 *tris,
             break;
         } else if (token_ieq(tok, tlen, "vertices")) {
             i64 count; p = parse_i64(p, end, &count);
+            if (count > nv) return 2;
+            nv -= count; /* consume capacity: duplicates cannot overflow */
             for (i64 i = 0; i < count; i++) {
                 double x = 0, y = 0, z = 0, ref;
                 p = parse_f64(p, end, &x);
@@ -130,6 +140,8 @@ int fm_parse(const char *buf, i64 len, i64 dim, double *verts, i64 *tris,
             }
         } else if (token_ieq(tok, tlen, "triangles")) {
             i64 count; p = parse_i64(p, end, &count);
+            if (count > ntri) return 2;
+            ntri -= count;
             for (i64 i = 0; i < count; i++) {
                 i64 a, b, c, ref;
                 p = parse_i64(p, end, &a); p = parse_i64(p, end, &b);
@@ -139,6 +151,8 @@ int fm_parse(const char *buf, i64 len, i64 dim, double *verts, i64 *tris,
             }
         } else if (token_ieq(tok, tlen, "tetrahedra")) {
             i64 count; p = parse_i64(p, end, &count);
+            if (count > ntet) return 2;
+            ntet -= count;
             for (i64 i = 0; i < count; i++) {
                 i64 a, b, c, d, ref;
                 p = parse_i64(p, end, &a); p = parse_i64(p, end, &b);

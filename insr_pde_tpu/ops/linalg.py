@@ -234,7 +234,7 @@ def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P()),
-             out_specs=(P(), P()))
+             out_specs=(P(), P(), P()))
     def run(vals, cols, b, x0):
         def A_mv(x):
             return jnp.sum(vals * x[cols], axis=-1)
@@ -250,7 +250,7 @@ def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
 
         x, info = cgls(A_mv, At_mv, b, x0, maxiter=maxiter, tol=tol,
                        damp=damp, rows_reduce=rows_reduce)
-        return x, info["resnorm"]
+        return x, info["resnorm"], info["niter"]
 
-    x, resnorm = run(vals, cols, b_p, x0)
-    return x, {"resnorm": resnorm}
+    x, resnorm, niter = run(vals, cols, b_p, x0)
+    return x, {"resnorm": resnorm, "niter": niter}

@@ -85,6 +85,38 @@ def test_native_is_faster_on_large_mesh(tmp_path):
     assert t_native < max(t_py * 2.0, 1.0)
 
 
+def test_native_rejects_duplicate_sections(tmp_path):
+    """A second Vertices section must error out, not overflow the buffers
+    sized from the first pass (fastmesh.c fm_count/fm_parse contract)."""
+    if _no_compiler():
+        pytest.skip("no C compiler available")
+    path = tmp_path / "dup.mesh"
+    with open(path, "w") as f:
+        f.write("MeshVersionFormatted 1\nDimension 3\n")
+        f.write("Vertices\n1\n0 0 0 1\n")
+        f.write("Tetrahedra\n1\n1 1 1 1 1\n")
+        # adversarial: second, larger Vertices section
+        f.write("Vertices\n3\n1 0 0 1\n0 1 0 1\n0 0 1 1\n")
+        f.write("End\n")
+    with pytest.raises(ValueError):
+        read_medit_native(str(path))
+
+
+def test_native_rebuilds_on_source_change(tmp_path, monkeypatch):
+    """The cached .so is keyed on a content hash of fastmesh.c — a stale or
+    foreign binary must never be loaded (ADVICE r1: supply-chain risk)."""
+    import insr_pde_tpu.native as native
+    if _no_compiler():
+        pytest.skip("no C compiler available")
+    # poison the hash sidecar: _build() must detect the mismatch and rebuild
+    with open(native._SO_HASH, "w") as f:
+        f.write("deadbeef")
+    so = native._build()
+    assert so is not None
+    with open(native._SO_HASH) as f:
+        assert f.read().strip() == native._src_hash()
+
+
 def _no_compiler():
     from insr_pde_tpu.native import _load
     return _load() is None

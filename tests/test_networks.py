@@ -81,6 +81,34 @@ def test_relu_and_elu_variants():
         assert not bool(jnp.any(jnp.isnan(y)))
 
 
+def test_value_grad_dispatch_matches_autodiff():
+    """net.value_grad/_laplacian must return the *network's own* derivatives
+    for every nonlinearity (regression: relu/elu nets previously got sine
+    forward-Laplacian derivatives — ADVICE r1 medium)."""
+    from insr_pde_tpu.ops.diff import hessian, jacobian
+
+    x = jax.random.uniform(jax.random.PRNGKey(7), (32, 2), minval=-1, maxval=1)
+    for nl in ("sine", "relu", "elu"):
+        net = MLP(2, 1, num_hidden_layers=1, hidden_features=16,
+                  nonlinearity=nl)
+        params = net.init(jax.random.PRNGKey(3))
+        u, J, L = net.value_grad_laplacian(params, x)
+        u2, J2 = net.value_grad(params, x)
+
+        fn = net.point_fn(params)
+        J_ref = jnp.swapaxes(jacobian(fn, x), 1, 2)       # (N, d, m)
+        L_ref = jnp.trace(hessian(fn, x), axis1=2, axis2=3)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(net.apply(params, x)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(J2), np.asarray(J_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u))
+
+
 def test_hashgrid_field_fits_signal(tmp_path):
     """`--network hashgrid` end-to-end: the encoded field fits the advection
     initial condition (reference's hash encoder is dead code; here it's a

@@ -86,6 +86,26 @@ def test_aux_threading_no_recompile():
     np.testing.assert_allclose(r2.params, [-1.0, 2.0], atol=0.05)
 
 
+def test_callback_reports_last_active_loss():
+    """Early stop mid-chunk: the callback must see the loss at the last
+    *active* iteration, not the frozen-latch value logged at chunk end
+    (regression for models/solver.py history/callback divergence)."""
+    def const_loss(params, key, aux):
+        return {"main": jnp.asarray(1.0)}
+
+    seen = []
+    solver = Solver(const_loss, lr=1e-1, max_n_iters=10000, chunk_size=100,
+                    early_stop=True, plateau_patience=50,
+                    plateau_min_lr=1e-3, early_stop_min_lr=1.1e-3)
+    res = solver.fit(jnp.zeros(2), jax.random.PRNGKey(0),
+                     callback=lambda it, p, losses: seen.append(dict(losses)))
+    assert res.n_iters < 10000  # early stop actually fired
+    # last callback lr must equal the last history (active) lr, not the
+    # post-freeze value
+    np.testing.assert_allclose(float(seen[-1]["_lr"]),
+                               float(res.history["_lr"][-1]), rtol=1e-6)
+
+
 def test_sharded_solver_matches_single_device():
     """DP/SP over the collocation batch: an 8-device mesh where every device
     contributes the same deterministic loss must match the unsharded run."""
