@@ -151,6 +151,42 @@ def pou_hat_grad(x: jax.Array) -> jax.Array:
     return jnp.where(jnp.abs(x) < 1.0, -jnp.sign(x), 0.0)
 
 
+def pou_smooth(x: jax.Array) -> jax.Array:
+    """C1 smooth-hat PoU on [-1, 1]: S(1 - |x|) with the cubic smoothstep
+    S(s) = 3s^2 - 2s^3. Same 2-site support as `pou_hat` and still an exact
+    partition of unity at unit spacing (S(s) + S(1-s) = 1), but C1
+    EVERYWHERE (S'(0) = S'(1) = 0 kills both the center and edge kinks).
+    Fields represented with it have continuous first derivatives — required
+    by the stream-function formulation, where velocity IS a derivative and
+    hat-PoU kinks would make it jump across cell boundaries."""
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return s * s * (3.0 - 2.0 * s)
+
+
+def pou_smooth_grad(x: jax.Array) -> jax.Array:
+    """d pou_smooth / dx: -sign(x) S'(1-|x|), S'(s) = 6s(1-s)."""
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return -jnp.sign(x) * 6.0 * s * (1.0 - s)
+
+
+def pou_smooth_hess(x: jax.Array) -> jax.Array:
+    """d2 pou_smooth / dx2 (a.e.): S''(1-|x|) = 6 - 12(1-|x|) inside."""
+    inside = jnp.abs(x) < 1.0
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return jnp.where(inside, 6.0 - 12.0 * s, 0.0)
+
+
+# (value, grad, second) per PoU family; grads/seconds are a.e. derivatives
+# in the PoU's own normalized coordinate (callers divide by the width).
+_POU_FNS = {
+    "simple": (pou_simple,
+               lambda x: jnp.zeros_like(x),
+               lambda x: jnp.zeros_like(x)),
+    "hat": (pou_hat, pou_hat_grad, lambda x: jnp.zeros_like(x)),
+    "smooth": (pou_smooth, pou_smooth_grad, pou_smooth_hess),
+}
+
+
 class PointBasis(NamedTuple):
     """Per-query gathered basis block: everything the PDE assembly needs.
 
@@ -163,6 +199,15 @@ class PointBasis(NamedTuple):
     dwdt: (Q, K) d w / d t (nonzero for the 'hat' time PoU)
     dwdx: (Q, K, D) d w / d x (nonzero for the 'hat' space PoU)
     idx:  (Q, K) site indices into the flattened site axis
+
+    Second-order block (None unless `point_basis(..., second=True)`; needed
+    by the stream-function formulation, where velocities are first
+    derivatives of psi and the momentum operator therefore needs seconds):
+    dxx_full: (Q, K, E, J, D, D) full d2 phi / dx_a dx_b
+    dxt:      (Q, K, E, J, D)    d2 phi / dx_a dt
+    dwdx2:    (Q, K, D, D)       d2 w / dx_a dx_b (hat PoU: off-diagonal
+              only — per-dim hats have zero second derivative a.e.)
+    dwdxdt:   (Q, K, D)          d2 w / dx_a dt
     """
     phi: jax.Array
     dx: jax.Array
@@ -172,12 +217,17 @@ class PointBasis(NamedTuple):
     dwdt: jax.Array
     dwdx: jax.Array
     idx: jax.Array
+    dxx_full: Optional[jax.Array] = None
+    dxt: Optional[jax.Array] = None
+    dwdx2: Optional[jax.Array] = None
+    dwdxdt: Optional[jax.Array] = None
 
 
 def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
                 idx: Optional[jax.Array] = None,
                 time_pou: str = "simple",
-                space_pou: str = "simple") -> PointBasis:
+                space_pou: str = "simple",
+                second: bool = False) -> PointBasis:
     """Evaluate gathered features at (x (Q,dim), t (Q,)).
 
     If idx is None, runs space-time KNN with the time axis rescaled by
@@ -221,30 +271,46 @@ def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
 
     pw = cfg.effective_pou_width
     xp_rel = (x[:, None, :] - p.centers[idx]) / pw         # (Q, K, D)
-    if space_pou == "hat":
-        per_dim = pou_hat(xp_rel)                          # (Q, K, D)
-        x_w = jnp.prod(per_dim, axis=-1)
-        # d/dx_d of the product: grad of dim d times the other dims
-        others = x_w[..., None] / jnp.where(per_dim > 0, per_dim, 1.0)
-        dx_w = jnp.where(per_dim > 0,
-                         others * pou_hat_grad(xp_rel) / pw, 0.0)
-    elif space_pou == "simple":
-        x_w = jnp.prod(pou_simple(xp_rel), axis=-1)
-        dx_w = jnp.zeros_like(xp_rel)
-    else:
-        raise NotImplementedError(f"space_pou={space_pou}")
+    pv, pg, ph = _POU_FNS[space_pou]
+    per_dim = pv(xp_rel)                                   # (Q, K, D)
+    g = pg(xp_rel) / pw
+    x_w = jnp.prod(per_dim, axis=-1)
+    # d/dx_a of the product: grad of dim a times the other dims' values
+    excl = x_w[..., None] / jnp.where(per_dim > 0, per_dim, 1.0)
+    dx_w = jnp.where(per_dim > 0, excl * g, 0.0)
+    dxx_w = None
+    if second:
+        # d2/dx_a dx_b of prod_d v(x_d): off-diagonal g_a g_b times the
+        # product over remaining dims; diagonal v''_a times the others
+        # (zero a.e. for hat; nonzero for the C1 smooth PoU).
+        safe = jnp.where(per_dim > 0, per_dim, 1.0)
+        excl_ab = (x_w[..., None, None]
+                   / (safe[..., :, None] * safe[..., None, :]))
+        inside = (per_dim > 0)[..., :, None] & (per_dim > 0)[..., None, :]
+        dxx_w = jnp.where(inside,
+                          excl_ab * g[..., :, None] * g[..., None, :], 0.0)
+        h = ph(xp_rel) / pw ** 2
+        diag = jnp.where(per_dim > 0, excl * h, 0.0)
+        eye = jnp.eye(x.shape[-1], dtype=bool)
+        dxx_w = jnp.where(eye, diag[..., :, None] * eye, dxx_w)
 
-    if time_pou == "hat":
-        t_w = pou_hat(t_rel)
-        dt_w = pou_hat_grad(t_rel) / tbw
-    elif time_pou == "simple":
-        t_w = pou_simple(t_rel)
-        dt_w = jnp.zeros_like(t_w)
-    else:
-        raise NotImplementedError(f"time_pou={time_pou}")
+    tv, tg, _ = _POU_FNS[time_pou]
+    t_w = tv(t_rel)
+    dt_w = tg(t_rel) / tbw
+
+    dxx_full = dxt = dwdx2 = dwdxdt = None
+    if second:
+        A_bw = A / bw                                      # (Q, K, E, J, D)
+        dxx_full = sig2[..., None, None] * (A_bw[..., :, None]
+                                            * A_bw[..., None, :])
+        dxt = sig2[..., None] * A_bw * (tA / tbw)[..., None]
+        dwdx2 = dxx_w * t_w[..., None, None]
+        dwdxdt = dx_w * dt_w[..., None]
     return PointBasis(phi=phi, dx=dx, dt=dt, dxx=dxx,
                       w=x_w * t_w, dwdt=x_w * dt_w,
-                      dwdx=dx_w * t_w[..., None], idx=idx)
+                      dwdx=dx_w * t_w[..., None], idx=idx,
+                      dxx_full=dxx_full, dxt=dxt,
+                      dwdx2=dwdx2, dwdxdt=dwdxdt)
 
 
 # ---- per-coefficient column blocks (Q, K, E, J) ---------------------------
@@ -297,6 +363,39 @@ def field_lap(pb: PointBasis, u: jax.Array) -> jax.Array:
     (Hessian TODO at base/networks.py:382)."""
     return jnp.einsum("qkej,qkej->qe", basis_dxx_diag(pb).sum(-1),
                       u[pb.idx])
+
+
+def basis_hess(pb: PointBasis) -> jax.Array:
+    """Columns of the FULL spatial Hessian d2(w phi)/dx_a dx_b, incl. the
+    PoU product-rule terms: (Q, K, E, J, D, D). Requires a `second=True`
+    point_basis. Symmetric in (a, b) by construction — the stream-function
+    formulation's exact-continuity property rests on this symmetry."""
+    w = pb.w[:, :, None, None, None, None]
+    wa = pb.dwdx[:, :, None, None, :, None]
+    wb = pb.dwdx[:, :, None, None, None, :]
+    wab = pb.dwdx2[:, :, None, None, :, :]
+    return (w * pb.dxx_full
+            + wa * pb.dx[..., None, :] + wb * pb.dx[..., :, None]
+            + wab * pb.phi[..., None, None])
+
+
+def basis_dxdt(pb: PointBasis) -> jax.Array:
+    """Columns of the mixed derivative d2(w phi)/dx_a dt: (Q, K, E, J, D).
+    Requires a `second=True` point_basis."""
+    return (pb.w[:, :, None, None, None] * pb.dxt
+            + pb.dwdx[:, :, None, None, :] * pb.dt[..., None]
+            + pb.dwdt[:, :, None, None, None] * pb.dx
+            + pb.dwdxdt[:, :, None, None, :] * pb.phi[..., None])
+
+
+def field_hess(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """Full spatial Hessian of u_e: (Q, E, D, D)."""
+    return jnp.einsum("qkejab,qkej->qeab", basis_hess(pb), u[pb.idx])
+
+
+def field_dxdt(pb: PointBasis, u: jax.Array) -> jax.Array:
+    """Mixed space-time derivative of u_e: (Q, E, D)."""
+    return jnp.einsum("qkeja,qkej->qea", basis_dxdt(pb), u[pb.idx])
 
 
 def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:

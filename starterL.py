@@ -8,7 +8,8 @@ linear least-squares path and writing per-slice visualizations.
 
 import argparse
 
-from insr_pde_tpu.models.vortex import VortexConfig, VortexModel
+from insr_pde_tpu.models.vortex import (StreamVortexModel, VortexConfig,
+                                        VortexModel)
 from insr_pde_tpu.utils.runtime import enable_compilation_cache
 
 enable_compilation_cache()
@@ -26,9 +27,16 @@ def main(argv=None):
                     help="matrix mode: factored normal equations (cgls) or "
                          "explicit normal-equations cg_batch (the reference "
                          "dense Vortex path)")
-    ap.add_argument("--pou", choices=["simple", "hat"], default="simple",
-                    help="'hat' = continuous PoUs (recommended; see "
+    ap.add_argument("--pou", choices=["simple", "hat", "smooth"],
+                    default="simple",
+                    help="'hat' = continuous PoUs; 'smooth' = C1 PoUs "
+                         "(required by --formulation stream; see "
                          "insr_pde_tpu/models/rbf.py)")
+    ap.add_argument("--formulation", choices=["velocity", "stream"],
+                    default="velocity",
+                    help="'stream': u = curl(psi) — continuity exact by "
+                         "construction (insr_pde_tpu/models/vortex.py "
+                         "StreamVortexModel; no reference counterpart)")
     ap.add_argument("--train_iters", type=int, default=200)
     ap.add_argument("--collocation", type=int, default=1000)
     ap.add_argument("--boundary", type=int, default=400)
@@ -44,14 +52,25 @@ def main(argv=None):
     ap.add_argument("--internal_v", type=float, default=8.0)
     args = ap.parse_args(argv)
 
+    if args.formulation == "stream":
+        # the stream function's velocity is a derivative: it needs the C1
+        # PoU (hat kinks would make u jump across cells), sharper features
+        # (second-derivative columns scale 1/bw^2), and the preconditioned
+        # undamped CGLS
+        pou, damp, bw, w_bc = "smooth", 0.0, 1.0, 5.0
+    else:
+        pou = args.pou
+        damp = 0.01 if pou in ("hat", "smooth") else 0.0
+        bw, w_bc = 10.0, 1.0
     cfg = VortexConfig(
         rho=args.rho, internal_v=args.internal_v,
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
-        pou=args.pou, cgls_damp=0.01 if args.pou == "hat" else 0.0,
+        pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         log_dir=args.log_dir)
-    model = VortexModel(cfg)
+    cls = StreamVortexModel if args.formulation == "stream" else VortexModel
+    model = cls(cfg)
 
     for r in range(args.n_rounds):
         print(f"round: {r}")

@@ -263,3 +263,121 @@ def test_vortex_sharded_solve_matches_single_device():
     # under-converged system: compare relatively
     rel = np.linalg.norm(u1 - u2) / np.linalg.norm(u1)
     assert rel < 2e-2, rel
+
+
+def test_second_order_derivatives_match_autodiff():
+    """basis_hess / basis_dxdt (full Hessian + mixed space-time columns,
+    incl. PoU product-rule terms) must match differentiating the value
+    evaluation, for every PoU family."""
+    from insr_pde_tpu.models.rbf import (field_dxdt, field_hess,
+                                         structured_spacetime_idx)
+    cfg = RBFConfig(dim=2, n_vars=2, n_feat=4, n_spatial_basis=25,
+                    time_num=4, band_width=1.0, neighbor_k=4, seed=0,
+                    pou_width=2.0 / 5)
+    p = init_rbf(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 2), minval=-0.9,
+                           maxval=0.9)
+    t = jax.random.uniform(jax.random.PRNGKey(2), (8,), minval=0.05,
+                           maxval=0.95)
+    for pou in ("simple", "hat", "smooth"):
+        idx = structured_spacetime_idx(cfg, p, x, t, 2)
+        pb2 = point_basis(cfg, p, x, t, idx=idx, time_pou=pou,
+                          space_pou=pou, second=True)
+        H = field_hess(pb2, p.u)
+        XT = field_dxdt(pb2, p.u)
+
+        def val(xi, ti, ir):
+            pb = point_basis(cfg, p, xi[None], ti[None], idx=ir[None],
+                             time_pou=pou, space_pou=pou)
+            return field_value(pb, p.u)[0]
+
+        H_auto = jax.vmap(
+            lambda a, b, c: jax.jacfwd(jax.jacfwd(val))(a, b, c))(x, t, idx)
+        XT_auto = jax.vmap(lambda a, b, c: jax.jacfwd(
+            lambda ti: jax.jacfwd(val)(a, ti, c))(b))(x, t, idx)
+        np.testing.assert_allclose(np.asarray(H_auto), np.asarray(H),
+                                   atol=1e-3, err_msg=pou)
+        np.testing.assert_allclose(np.asarray(XT_auto), np.asarray(XT),
+                                   atol=1e-3, err_msg=pou)
+
+
+def test_pou_smooth_is_c1_partition_of_unity():
+    """S(x) + S(1-x) = 1 (exact PoU at unit spacing) and zero slope at the
+    center and edges (the C1 property the stream formulation needs)."""
+    from insr_pde_tpu.models.rbf import pou_smooth, pou_smooth_grad
+    xi = jnp.linspace(0.0, 1.0, 33)
+    np.testing.assert_allclose(
+        np.asarray(pou_smooth(xi) + pou_smooth(1.0 - xi)), 1.0, atol=1e-6)
+    for edge in (0.0, 1.0, -1.0):
+        assert abs(float(pou_smooth_grad(jnp.asarray(edge)))) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_stream():
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+    cfg = VortexConfig(
+        collocation_pts_num=64, boundary_num=32, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=2000, picard_iters=2,
+        pou="smooth", cgls_damp=0.0, w_bc=5.0, vis_resolution=16, seed=3)
+    model = StreamVortexModel(cfg, log=False)
+    model.matrix_solver()
+    return model
+
+
+def test_stream_continuity_is_exact_analytically(tiny_stream):
+    """div u = psi_yx - psi_xy vanishes identically for the curl
+    representation (basis_hess symmetry) — at arbitrary query points."""
+    import insr_pde_tpu.models.vortex as V
+    from insr_pde_tpu.models.rbf import field_hess
+    m = tiny_stream
+    x = jax.random.uniform(jax.random.PRNGKey(9), (128, 2), minval=-0.95,
+                           maxval=0.95)
+    t = jax.random.uniform(jax.random.PRNGKey(10), (128,), minval=0.0,
+                           maxval=m.cfg.time_length)
+    pb2 = m._point_basis(m.params, x, t, second=True)
+    H = field_hess(pb2, m.params.u)[:, V.PSI]
+    div = H[:, 1, 0] - H[:, 0, 1]          # d u0/dx0 + d u1/dx1
+    scale = float(jnp.max(jnp.abs(H))) + 1e-30
+    assert float(jnp.max(jnp.abs(div))) / scale < 1e-6
+
+
+def test_stream_divergence_fd_beats_velocity_form(tiny_stream):
+    """The independent finite-difference continuity check: the stream
+    formulation must be at least an order of magnitude more
+    divergence-free than the velocity formulation at the same scale
+    (round-1 velocity-form measurement: relative divergence ~O(1))."""
+    from insr_pde_tpu.models.vortex import relative_divergence
+    m = tiny_stream
+    rd_stream = relative_divergence(m, 32)
+    assert rd_stream < 0.1, rd_stream
+
+    cfg = VortexConfig(
+        collocation_pts_num=64, boundary_num=32, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=2000, picard_iters=2,
+        pou="smooth", cgls_damp=0.0, w_bc=5.0, vis_resolution=16, seed=3)
+    mv = VortexModel(cfg, log=False)
+    mv.matrix_solver()
+    rd_vel = relative_divergence(mv, 32)
+    assert rd_stream < 0.2 * rd_vel, (rd_stream, rd_vel)
+
+
+def test_stream_train_path_decreases_loss():
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+    cfg = VortexConfig(
+        collocation_pts_num=32, boundary_num=16, time_num=2,
+        n_spatial_basis=16, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, train_lr=0.05, pou="smooth", seed=5)
+    model = StreamVortexModel(cfg, log=False)
+    l0 = model.train(1)
+    l1 = model.train(60)
+    assert np.isfinite(l1)
+    assert l1 < l0
+
+
+def test_stream_write_output(tmp_path, tiny_stream):
+    tiny_stream.write_output(str(tmp_path), resolution=8)
+    assert (tmp_path / "field.npy").exists()
+    arr = np.load(tmp_path / "field.npy")
+    assert arr.shape == (3, 64, 3)  # [u, v, p] per grid point per slice
