@@ -1,19 +1,28 @@
-"""Benchmark: sec/timestep on the advect1D workload (BASELINE.json metric).
+"""Benchmark: the reference's two headline workloads, one JSON line.
 
-Workload = the reference's `scripts/advect1D.sh` hyperparameters (SIREN
-2 layers x 20 hidden, 5000 collocation points per Adam iteration, implicit
-midpoint residual + boundary penalty, dt=0.05), with a *fixed* iteration count
-per timestep (no early stop) so the number is deterministic and comparable.
+PRIMARY metric — the paper-scale 2D fluid timestep (reference
+`scripts/fluid2Dtlgn.sh`: SIREN 3x32, sr=128 => 16384 collocation points per
+iteration, three solve phases per timestep — advect, pressure Poisson,
+projection; the pressure phase is the reference's hottest region,
+fluid/model.py:103-125 / SURVEY.md §3.1). Iteration count fixed (no early
+stop) so the number is deterministic and comparable.
 
-Baseline = a from-scratch PyTorch eager implementation of the identical
-per-iteration computation (same net size, same residual, same point count),
-timed on this host and scaled to the same iteration count. The reference repo
-publishes no numbers (BASELINE.md), so the measured same-machine PyTorch
-equivalent is the honest baseline; `vs_baseline` is the speedup factor
-(baseline_sec_per_timestep / ours).
+SECONDARY (extra fields) — the round-1 advect1D workload (reference
+`scripts/advect1D.sh`), kept for cross-round comparability.
+
+Baseline = from-scratch PyTorch eager implementations of the identical
+per-iteration computation, timed on this host and scaled to the same
+iteration count. The reference repo publishes no numbers (BASELINE.md), so
+the measured same-machine PyTorch equivalent is the honest baseline;
+`vs_baseline` is the speedup factor (baseline_sec / ours).
+
+Also reports achieved FLOP/s for the fluid timestep, from XLA's own cost
+analysis of the per-iteration grad programs (not a hand count), and MFU
+against the v5e bf16 MXU peak (197 TFLOP/s; the compute runs f32, so this
+is a deliberately conservative denominator).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "sec/timestep", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "sec/timestep", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -27,12 +36,169 @@ from insr_pde_tpu.utils.runtime import enable_compilation_cache
 
 enable_compilation_cache()
 
-ITERS_PER_STEP = 2000
-N_SAMPLES = 5000
-TORCH_MEASURE_ITERS = 100
+# fluid paper scale (reference scripts/fluid2Dtlgn.sh)
+FLUID_SR = 128
+FLUID_LAYERS, FLUID_HIDDEN = 3, 32
+FLUID_ITERS = 3000          # per phase, fixed (reference max_n_iters default
+                            # is 20k with early stop; fixed count => stable)
+# advect1D (reference scripts/advect1D.sh)
+ADV_ITERS_PER_STEP = 2000
+ADV_N_SAMPLES = 5000
+TORCH_MEASURE_ITERS = 20
+
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def bench_jax() -> float:
+def _fluid_model(tmp):
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.fluid import Fluid2DModel
+
+    cfg = Config(
+        pde="fluid", proj_dir=tmp, tag="bench", init_cond="taylorgreen",
+        num_hidden_layers=FLUID_LAYERS, hidden_features=FLUID_HIDDEN,
+        sample_resolution=FLUID_SR, vis_resolution=32,
+        max_n_iters=FLUID_ITERS, chunk_size=1000, early_stop=False,
+        dt=0.05, vis_frequency=10 ** 9, backup_sources=False,
+    )
+    cfg.setup_dirs()
+    return Fluid2DModel(cfg)
+
+
+def bench_fluid() -> tuple[float, float]:
+    """Returns (sec/timestep, flops/timestep from XLA cost analysis)."""
+    import jax
+
+    with tempfile.TemporaryDirectory() as tmp:
+        model = _fluid_model(tmp)
+        model.initialize()
+        model.step()                # compiles all three phase programs
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model.step()
+            times.append(time.perf_counter() - t0)
+
+        # FLOPs per iteration of each phase: XLA cost analysis of the
+        # value_and_grad program (the scan body's dominant cost; Adam and
+        # the scheduler add a few % on top — excluded, so MFU is a floor).
+        key = jax.random.PRNGKey(0)
+        v = model.fields["velocity"]
+        p = model.fields["pressure"]
+        phases = [
+            (model._advect_loss, v, {"prev": v}),
+            (model._pressure_loss, p, {"vel": v}),
+            (model._projection_loss, v, {"prev": v, "pressure": p}),
+        ]
+        flops_per_iter = 0.0
+        for loss_fn, params, aux in phases:
+            def one_iter(params, key, aux, loss_fn=loss_fn):
+                return jax.grad(
+                    lambda q: sum(loss_fn(q, key, aux).values()))(params)
+            c = jax.jit(one_iter).lower(params, key, aux).compile()
+            cost = c.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            flops_per_iter += float((cost or {}).get("flops", 0.0))
+    return min(times), flops_per_iter * FLUID_ITERS
+
+
+def bench_fluid_torch_baseline() -> float:
+    """The three-phase timestep in eager PyTorch (the reference's runtime):
+    same nets (3x32 SIREN), same point counts (sr^2 = 16384 + 1% boundary),
+    same per-iteration math incl. the nested-autograd pressure Laplacian
+    (reference fluid/model.py:103-125)."""
+    import torch
+
+    torch.manual_seed(0)
+    omega = 30.0
+    n = FLUID_SR ** 2
+    nb = n // 100
+
+    def make_siren(fi, fo):
+        dims = [(fi, FLUID_HIDDEN)] + \
+            [(FLUID_HIDDEN, FLUID_HIDDEN)] * FLUID_LAYERS + \
+            [(FLUID_HIDDEN, fo)]
+        layers = []
+        for i, (a, b) in enumerate(dims):
+            lin = torch.nn.Linear(a, b)
+            bound = (1.0 / a) if i == 0 else (6.0 / a) ** 0.5 / omega
+            torch.nn.init.uniform_(lin.weight, -bound, bound)
+            layers.append(lin)
+        return torch.nn.ModuleList(layers)
+
+    class Siren(torch.nn.Module):
+        def __init__(self, fi, fo):
+            super().__init__()
+            self.layers = make_siren(fi, fo)
+
+        def forward(self, x):
+            h = x
+            for i, lin in enumerate(self.layers):
+                h = lin(h)
+                if i < len(self.layers) - 1:
+                    h = torch.sin(omega * h)
+            return h
+
+    vel, vel_prev = Siren(2, 2), Siren(2, 2)
+    vel_prev.load_state_dict(vel.state_dict())
+    pnet = Siren(2, 1)
+    opt_v = torch.optim.Adam(vel.parameters(), lr=1e-4)
+    opt_p = torch.optim.Adam(pnet.parameters(), lr=1e-4)
+    dt = 0.05
+
+    def bnd():
+        return torch.rand(nb, 2) * 2.0 - 1.0
+
+    def advect_iter():
+        x = torch.rand(n, 2) * 2.0 - 1.0
+        with torch.no_grad():
+            back = (x - vel_prev(x) * dt).clamp(-1, 1)
+            target = vel_prev(back)
+        loss = ((vel(x) - target) ** 2).mean() \
+            + (vel(bnd())[:, 0] ** 2).mean() + (vel(bnd())[:, 1] ** 2).mean()
+        opt_v.zero_grad(); loss.backward(); opt_v.step()
+
+    def pressure_iter():
+        x = (torch.rand(n, 2) * 2.0 - 1.0).requires_grad_(True)
+        with torch.no_grad():
+            pass
+        u = vel(x)
+        div = sum(torch.autograd.grad(u[:, i].sum(), x, create_graph=False,
+                                      retain_graph=True)[0][:, i]
+                  for i in range(2)).detach()
+        x2 = (torch.rand(n, 2) * 2.0 - 1.0).requires_grad_(True)
+        pv = pnet(x2)
+        gp = torch.autograd.grad(pv.sum(), x2, create_graph=True)[0]
+        lap = sum(torch.autograd.grad(gp[:, i].sum(), x2, create_graph=True)[0][:, i]
+                  for i in range(2))
+        loss = ((div - lap) ** 2).mean()
+        xb = bnd().requires_grad_(True)
+        gb = torch.autograd.grad(pnet(xb).sum(), xb, create_graph=True)[0]
+        loss = loss + (gb[:, 0] ** 2).mean() + (gb[:, 1] ** 2).mean()
+        opt_p.zero_grad(); loss.backward(); opt_p.step()
+
+    def project_iter():
+        x = (torch.rand(n, 2) * 2.0 - 1.0).requires_grad_(True)
+        pv = pnet(x)
+        gp = torch.autograd.grad(pv.sum(), x, create_graph=False)[0]
+        with torch.no_grad():
+            target = vel_prev(x) - gp
+        loss = ((vel(x) - target.detach()) ** 2).mean() \
+            + (vel(bnd())[:, 0] ** 2).mean() + (vel(bnd())[:, 1] ** 2).mean()
+        opt_v.zero_grad(); loss.backward(); opt_v.step()
+
+    for it in (advect_iter, pressure_iter, project_iter):  # warmup
+        it(); it()
+    total = 0.0
+    for it in (advect_iter, pressure_iter, project_iter):
+        t0 = time.perf_counter()
+        for _ in range(TORCH_MEASURE_ITERS):
+            it()
+        total += (time.perf_counter() - t0) / TORCH_MEASURE_ITERS
+    return total * FLUID_ITERS
+
+
+def bench_advect() -> float:
     from insr_pde_tpu.config import Config
     from insr_pde_tpu.models.advection import Advection1DModel
 
@@ -40,15 +206,15 @@ def bench_jax() -> float:
         cfg = Config(
             pde="advection", proj_dir=tmp, tag="bench", init_cond="example1",
             num_hidden_layers=2, hidden_features=20,
-            sample_resolution=N_SAMPLES, vis_resolution=200,
-            max_n_iters=ITERS_PER_STEP, chunk_size=ITERS_PER_STEP,
+            sample_resolution=ADV_N_SAMPLES, vis_resolution=200,
+            max_n_iters=ADV_ITERS_PER_STEP, chunk_size=ADV_ITERS_PER_STEP,
             early_stop=False, dt=0.05, length=4.0, vel=0.25,
             vis_frequency=10 ** 9, backup_sources=False,
         )
         cfg.setup_dirs()
         model = Advection1DModel(cfg)
-        model.initialize()          # compiles the init program
-        model.step()                # compiles the advect program (warmup)
+        model.initialize()
+        model.step()
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -57,7 +223,7 @@ def bench_jax() -> float:
     return min(times)
 
 
-def bench_torch_baseline() -> float:
+def bench_advect_torch_baseline() -> float:
     """Same math in eager PyTorch (the reference's runtime), same sizes."""
     import torch
 
@@ -95,7 +261,7 @@ def bench_torch_baseline() -> float:
     dt, vel = 0.05, 0.25
 
     def one_iter():
-        x = (torch.rand(N_SAMPLES, 1) * 2.0 - 1.0) * 2.0
+        x = (torch.rand(ADV_N_SAMPLES, 1) * 2.0 - 1.0) * 2.0
         x.requires_grad_(True)
         u = net(x)
         gu = torch.autograd.grad(u.sum(), x, create_graph=True)[0]
@@ -114,24 +280,36 @@ def bench_torch_baseline() -> float:
     for _ in range(5):  # warmup
         one_iter()
     t0 = time.perf_counter()
-    for _ in range(TORCH_MEASURE_ITERS):
+    for _ in range(100):
         one_iter()
-    per_iter = (time.perf_counter() - t0) / TORCH_MEASURE_ITERS
-    return per_iter * ITERS_PER_STEP
+    per_iter = (time.perf_counter() - t0) / 100
+    return per_iter * ADV_ITERS_PER_STEP
 
 
 def main():
-    jax_sec = bench_jax()
+    fluid_sec, fluid_flops = bench_fluid()
+    adv_sec = bench_advect()
     try:
-        base_sec = bench_torch_baseline()
-        vs = base_sec / jax_sec
+        fluid_base = bench_fluid_torch_baseline()
+        fluid_vs = fluid_base / fluid_sec
     except Exception:
-        vs = float("nan")
+        fluid_vs = float("nan")
+    try:
+        adv_base = bench_advect_torch_baseline()
+        adv_vs = adv_base / adv_sec
+    except Exception:
+        adv_vs = float("nan")
+    achieved = fluid_flops / fluid_sec if fluid_sec > 0 else 0.0
     print(json.dumps({
-        "metric": f"advect1D_sec_per_timestep_{ITERS_PER_STEP}iters",
-        "value": round(jax_sec, 4),
+        "metric": f"fluid2d_paper_sec_per_timestep_{FLUID_ITERS}x3iters",
+        "value": round(fluid_sec, 4),
         "unit": "sec/timestep",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(fluid_vs, 2),
+        "fluid_ms_per_iter": round(fluid_sec / (3 * FLUID_ITERS) * 1e3, 4),
+        "fluid_achieved_gflops": round(achieved / 1e9, 1),
+        "fluid_mfu_vs_v5e_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 5),
+        "advect1d_sec_per_timestep": round(adv_sec, 4),
+        "advect1d_vs_baseline": round(adv_vs, 2),
     }))
 
 

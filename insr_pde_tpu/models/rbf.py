@@ -176,6 +176,31 @@ def pou_smooth_hess(x: jax.Array) -> jax.Array:
     return jnp.where(inside, 6.0 - 12.0 * s, 0.0)
 
 
+def pou_smooth2(x: jax.Array) -> jax.Array:
+    """C2 smooth-hat PoU on [-1, 1]: S5(1 - |x|) with the quintic
+    smootherstep S5(s) = 6s^5 - 15s^4 + 10s^3. Still an exact partition of
+    unity at unit spacing (S5(s) + S5(1-s) = 1) with the same 2-site
+    support, and C2 EVERYWHERE (S5' and S5'' vanish at both ends). Fields
+    represented with it have continuous Hessians — so the stream-function
+    velocity u = curl(psi) is C1 and even finite-difference divergence
+    checks see a divergence-free field (with the C1 cubic PoU the Hessian
+    jumps at cell kinks dominate an FD stencil)."""
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return s ** 3 * (10.0 + s * (-15.0 + 6.0 * s))
+
+
+def pou_smooth2_grad(x: jax.Array) -> jax.Array:
+    """d pou_smooth2 / dx: -sign(x) S5'(1-|x|), S5'(s) = 30 s^2 (1-s)^2."""
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return -jnp.sign(x) * 30.0 * (s * (1.0 - s)) ** 2
+
+
+def pou_smooth2_hess(x: jax.Array) -> jax.Array:
+    """d2 pou_smooth2 / dx2: S5''(1-|x|) = 60 s (1-s) (1-2s)."""
+    s = jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)
+    return 60.0 * s * (1.0 - s) * (1.0 - 2.0 * s)
+
+
 # (value, grad, second) per PoU family; grads/seconds are a.e. derivatives
 # in the PoU's own normalized coordinate (callers divide by the width).
 _POU_FNS = {
@@ -184,6 +209,7 @@ _POU_FNS = {
                lambda x: jnp.zeros_like(x)),
     "hat": (pou_hat, pou_hat_grad, lambda x: jnp.zeros_like(x)),
     "smooth": (pou_smooth, pou_smooth_grad, pou_smooth_hess),
+    "smooth2": (pou_smooth2, pou_smooth2_grad, pou_smooth2_hess),
 }
 
 

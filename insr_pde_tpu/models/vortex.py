@@ -181,11 +181,11 @@ class VortexModel:
             time_length=cfg.time_length, band_width=cfg.band_width,
             neighbor_k=cfg.neighbor_k, seed=cfg.seed,
             pou_width=(tmp.spatial_spacing
-                       if cfg.pou in ("hat", "smooth") else 0.0))
+                       if cfg.pou in ("hat", "smooth", "smooth2") else 0.0))
         # sites gathered per point (hat/smooth modes couple `time_window`
         # slices)
         self.k_eff = cfg.neighbor_k * (
-            cfg.time_window if cfg.pou in ("hat", "smooth") else 1)
+            cfg.time_window if cfg.pou in ("hat", "smooth", "smooth2") else 1)
         key = jax.random.PRNGKey(cfg.seed)
         k_basis, k_pts = jax.random.split(key)
         self.params = init_rbf(self.rbf_cfg, k_basis)
@@ -200,7 +200,7 @@ class VortexModel:
         self._step = 0
 
     def _point_basis(self, params, x, t, second: bool = False):
-        if self.cfg.pou in ("hat", "smooth"):
+        if self.cfg.pou in ("hat", "smooth", "smooth2"):
             idx = structured_spacetime_idx(self.rbf_cfg, params, x, t,
                                            self.cfg.time_window)
             return point_basis(self.rbf_cfg, params, x, t, idx=idx,
@@ -535,7 +535,7 @@ class StreamVortexModel(VortexModel):
 
     def _point_basis_idx(self, params, x, t, idx, second=False):
         pous = (dict(time_pou=self.cfg.pou, space_pou=self.cfg.pou)
-                if self.cfg.pou in ("hat", "smooth") else {})
+                if self.cfg.pou in ("hat", "smooth", "smooth2") else {})
         return point_basis(self.rbf_cfg, params, x, t, idx=idx,
                            second=second, **pous)
 

@@ -27,7 +27,7 @@ def main(argv=None):
                     help="matrix mode: factored normal equations (cgls) or "
                          "explicit normal-equations cg_batch (the reference "
                          "dense Vortex path)")
-    ap.add_argument("--pou", choices=["simple", "hat", "smooth"],
+    ap.add_argument("--pou", choices=["simple", "hat", "smooth", "smooth2"],
                     default="simple",
                     help="'hat' = continuous PoUs; 'smooth' = C1 PoUs "
                          "(required by --formulation stream; see "
@@ -60,7 +60,7 @@ def main(argv=None):
         pou, damp, bw, w_bc = "smooth", 0.0, 1.0, 5.0
     else:
         pou = args.pou
-        damp = 0.01 if pou in ("hat", "smooth") else 0.0
+        damp = 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0
         bw, w_bc = 10.0, 1.0
     cfg = VortexConfig(
         rho=args.rho, internal_v=args.internal_v,

@@ -279,7 +279,7 @@ def test_second_order_derivatives_match_autodiff():
                            maxval=0.9)
     t = jax.random.uniform(jax.random.PRNGKey(2), (8,), minval=0.05,
                            maxval=0.95)
-    for pou in ("simple", "hat", "smooth"):
+    for pou in ("simple", "hat", "smooth", "smooth2"):
         idx = structured_spacetime_idx(cfg, p, x, t, 2)
         pb2 = point_basis(cfg, p, x, t, idx=idx, time_pou=pou,
                           space_pou=pou, second=True)
@@ -304,12 +304,19 @@ def test_second_order_derivatives_match_autodiff():
 def test_pou_smooth_is_c1_partition_of_unity():
     """S(x) + S(1-x) = 1 (exact PoU at unit spacing) and zero slope at the
     center and edges (the C1 property the stream formulation needs)."""
-    from insr_pde_tpu.models.rbf import pou_smooth, pou_smooth_grad
+    from insr_pde_tpu.models.rbf import (pou_smooth, pou_smooth2,
+                                         pou_smooth2_grad, pou_smooth2_hess,
+                                         pou_smooth_grad)
     xi = jnp.linspace(0.0, 1.0, 33)
     np.testing.assert_allclose(
         np.asarray(pou_smooth(xi) + pou_smooth(1.0 - xi)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pou_smooth2(xi) + pou_smooth2(1.0 - xi)), 1.0, atol=1e-6)
     for edge in (0.0, 1.0, -1.0):
         assert abs(float(pou_smooth_grad(jnp.asarray(edge)))) < 1e-6
+        # quintic: grad AND second derivative vanish at center/edges (C2)
+        assert abs(float(pou_smooth2_grad(jnp.asarray(edge)))) < 1e-6
+        assert abs(float(pou_smooth2_hess(jnp.asarray(edge)))) < 1e-6
 
 
 @pytest.fixture(scope="module")

@@ -45,11 +45,28 @@ def _stub_module(name, attrs=()):
     return mod
 
 
+def _shim_meshio():
+    """A real meshio.read shim for the reference's mesh mode
+    (elasticity/model.py:77, torchgp/boundary_faces.py:27), backed by this
+    framework's own MEDIT parser — the image has no meshio."""
+    if "meshio" in sys.modules:
+        return
+    import importlib.machinery
+    mod = types.ModuleType("meshio")
+    mod.__spec__ = importlib.machinery.ModuleSpec("meshio", loader=None)
+
+    def read(path):
+        from insr_pde_tpu.geometry import read_mesh
+        return read_mesh(path)
+
+    mod.read = read
+    sys.modules["meshio"] = mod
+
+
 def _patch_torch_cpu():
-    # stubs for module-scope imports of the elasticity path that the
-    # harness never calls (meshio: only --use_mesh; open3d/sklearn: only
-    # PLY/figure output)
-    _stub_module("meshio", ["read"])
+    # shims/stubs for module-scope imports of the elasticity path
+    # (open3d/sklearn: only PLY/figure output, never called here)
+    _shim_meshio()
     o3d = _stub_module("open3d")
     if o3d is not None:
         o3d.geometry = types.SimpleNamespace(PointCloud=object)
@@ -113,6 +130,13 @@ def _patch_base_model_cpu():
 
 
 ELA_ENERGY = ["arap", "constraint", "constraint_right", "volume"]
+# the reference's headline mesh scene (scripts/elasticity3Dbunny.sh):
+# tet mesh falling onto a plane under gravity-like external force
+ELA3D_ENERGY = ["arap", "kinematics", "collision", "external", "volume"]
+ELA3D_KW = dict(ratio_arap=1e2, ratio_volume=1e3, ratio_collide=1e6,
+                ratio_kinematics=1.0, external_force_timesteps=5,
+                external_force_x=0.0, external_force_y=0.0,
+                external_force_z=-100.0, plane_height=-2.0)
 ELA_KW = dict(dim=2, use_mesh=False, mesh_path="",
               sample_pattern=["random", "uniform"],
               ratio_arap=1.0, ratio_volume=1e3, ratio_constraint=1e4,
@@ -140,6 +164,13 @@ def _ref_cfg(tmp, args):
         model_dir=os.path.join(tmp, "ref_model"),
         **ELA_KW,
     )
+    if args.pde == "elasticity3d":
+        cfg.dim = 3
+        cfg.use_mesh = True
+        cfg.mesh_path = args.mesh_path
+        cfg.energy = list(ELA3D_ENERGY)
+        for k, v in ELA3D_KW.items():
+            setattr(cfg, k, v)
     os.makedirs(cfg.log_dir, exist_ok=True)
     os.makedirs(cfg.model_dir, exist_ok=True)
     return cfg
@@ -168,7 +199,7 @@ def run_reference(args, tmp):
         _patch_base_model_cpu()
         cfg = _ref_cfg(tmp, args)
         model = RefModel(cfg)
-        if args.pde == "elasticity":
+        if args.pde.startswith("elasticity"):
             # the reference hard-codes 500^2-point init sampling
             # (elasticity/model.py:62-70) — impractical on CPU torch
             model.sample_resolution_init = args.sample_resolution
@@ -178,7 +209,12 @@ def run_reference(args, tmp):
                 model.initialize()
             else:
                 model.step()
-            if args.pde == "elasticity":
+            if args.pde == "elasticity3d":
+                # deformation at the normalized mesh vertices
+                with torch.no_grad():
+                    out = model.deformation_field(model.mesh_V[:, :3])
+                fields.append(out.cpu().numpy())
+            elif args.pde == "elasticity":
                 grid = torch.from_numpy(_ela_grid())
                 with torch.no_grad():
                     out = model.deformation_field(grid)
@@ -186,6 +222,8 @@ def run_reference(args, tmp):
             else:
                 out = model.sample_field(args.vis_resolution)
                 fields.append(np.asarray(out.detach().cpu().numpy()))
+        if args.pde == "elasticity3d":
+            fields.append(model.mesh_V.cpu().numpy())  # normalization check
         return fields
     finally:
         os.chdir(cwd)
@@ -212,6 +250,14 @@ def run_ours(args, tmp):
         for k, v in ELA_KW.items():
             setattr(cfg, k, v)
         cfg.sample_resolution_init = args.sample_resolution
+    if args.pde == "elasticity3d":
+        cfg.dim = 3
+        cfg.use_mesh = True
+        cfg.mesh_path = args.mesh_path
+        cfg.energy = list(ELA3D_ENERGY)
+        for k, v in ELA3D_KW.items():
+            setattr(cfg, k, v)
+        cfg.sample_resolution_init = args.sample_resolution
     if args.pde == "advection":
         from insr_pde_tpu.models.advection import Advection1DModel
         model = Advection1DModel(cfg)
@@ -227,7 +273,10 @@ def run_ours(args, tmp):
             model.initialize()
         else:
             model.step()
-        if args.pde == "elasticity":
+        if args.pde == "elasticity3d":
+            out = model.net.apply(model.fields["deformation"], model.mesh_V)
+            fields.append(np.asarray(out))
+        elif args.pde == "elasticity":
             import jax.numpy as jnp
             out = model.net.apply(model.fields["deformation"],
                                   jnp.asarray(_ela_grid()))
@@ -235,13 +284,20 @@ def run_ours(args, tmp):
         else:
             fields.append(np.asarray(model.sample_field(
                 args.vis_resolution)))
+    if args.pde == "elasticity3d":
+        fields.append(np.asarray(model.mesh_V))  # normalization check
     return fields
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pde", choices=["advection", "fluid", "elasticity"],
+    ap.add_argument("--pde", choices=["advection", "fluid", "elasticity",
+                                      "elasticity3d"],
                     default="advection")
+    ap.add_argument("--mesh_path", type=str,
+                    default=os.path.join(REF_PATH,
+                                         "elasticity/data/spot.mesh"),
+                    help="elasticity3d: the reference's own MEDIT tet mesh")
     ap.add_argument("-T", "--n_timesteps", type=int, default=5)
     ap.add_argument("--max_n_iters", type=int, default=5000)
     ap.add_argument("--sample_resolution", type=int, default=1000)
@@ -268,6 +324,13 @@ def main():
         args.num_hidden_layers = 3
         args.hidden_features = 68
         args.sample_resolution = min(args.sample_resolution, 30)
+    if args.pde == "elasticity3d":
+        # scripts/elasticity3Dbunny.sh network + dt; reduced sr/iters are
+        # the caller's budget choice (CPU torch runs the reference side)
+        args.num_hidden_layers = 3
+        args.hidden_features = 66
+        args.sample_resolution = min(args.sample_resolution, 20)
+        args.dt = 0.1
     if args.pde == "fluid":
         args.num_hidden_layers = 3
         args.hidden_features = 32
@@ -284,6 +347,12 @@ def main():
         ref = run_reference(args, tmp)
         print("running insr_pde_tpu...", file=sys.stderr)
         ours = run_ours(args, tmp)
+
+    if args.pde == "elasticity3d":
+        # the trailing element is the normalized vertex array from each side
+        vref, vours = ref.pop(), ours.pop()
+        vdiff = float(np.max(np.abs(vref - vours)))
+        print(f"mesh normalization max |dV|: {vdiff:.2e}", file=sys.stderr)
 
     rows = []
     for t, (a, b) in enumerate(zip(ref, ours)):
