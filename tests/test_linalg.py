@@ -6,7 +6,7 @@ import numpy as np
 
 from insr_pde_tpu.ops.knn import knn, knn_gather
 from insr_pde_tpu.ops.linalg import (PaddedSparse, cg_batch, cg_solve, cgls,
-                                     cgls_sparse)
+                                     cgls_sparse, cgls_sparse_sharded)
 
 
 def test_knn_matches_bruteforce_numpy():
@@ -122,3 +122,48 @@ def test_cgls_sparse_sharded_matches_single_device():
                                      maxiter=400, tol=1e-12, damp=1e-3)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                atol=5e-4)
+
+
+def test_sharded_cgls_work_scales_with_devices():
+    """Layout-intent pin (not just equivalence): per-DEVICE compiled work of
+    the row-sharded CGLS must shrink as the mesh grows, the shard_map body
+    must see 1/n of the rows, and the psum's replica group must span the
+    whole mesh. Uses XLA's own cost analysis — deterministic, no timing."""
+    import re
+
+    from jax.sharding import Mesh
+
+    R, NNZ, C = 4096, 16, 2048
+    rng = np.random.RandomState(0)
+    vals = jnp.asarray(rng.randn(R, NNZ).astype(np.float32))
+    cols = jnp.asarray(np.stack(
+        [rng.choice(C, NNZ, replace=False) for _ in range(R)]))
+    b = jnp.asarray(rng.randn(R).astype(np.float32))
+    x0 = jnp.zeros(C)
+
+    flops = {}
+    for n in (1, 8):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
+
+        def f(vals, cols, b, x0, mesh=mesh):
+            A = PaddedSparse(vals=vals, cols=cols, n_cols=C)
+            x, _ = cgls_sparse_sharded(mesh, "data", A, b, x0,
+                                       maxiter=50, tol=0.0, damp=0.0)
+            return x
+
+        lo = jax.jit(f).lower(vals, cols, b, x0)
+        ca = lo.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops[n] = float(ca["flops"])
+        st = lo.as_text()
+        assert f"tensor<{R // n}x{NNZ}xf32>" in st, \
+            f"mesh={n}: shard_map body does not see {R // n} local rows"
+        groups = re.findall(r"all_reduce.*?replica_groups = dense<(.*?)>", st)
+        assert groups, f"mesh={n}: no all_reduce in the lowered program"
+        if n == 8:
+            assert "[[0, 1, 2, 3, 4, 5, 6, 7]]" in groups[0], groups[0]
+
+    # strong scaling: 8 devices must each do well under half the 1-device
+    # work (ideal 1/8; the replicated x-space reduction keeps it above that)
+    assert flops[8] < 0.25 * flops[1], flops

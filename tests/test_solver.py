@@ -136,3 +136,40 @@ def test_sharded_stochastic_loss_runs():
                     early_stop=False, mesh=mesh)
     res = solver.fit(jnp.zeros(3), jax.random.PRNGKey(0))
     np.testing.assert_allclose(res.params, [1.0, -2.0, 3.0], atol=0.05)
+
+
+def test_sharded_solver_weak_scaling_layout():
+    """DP layout-intent pin: under an n-device mesh each device runs the
+    SAME per-device collocation batch (weak scaling — per-device compiled
+    work ~constant as the mesh grows, total work scales with n), and the
+    gradient pmean's replica group spans the whole mesh."""
+    import re
+
+    from jax.sharding import Mesh
+
+    def loss(params, key, aux):
+        x = jax.random.uniform(key, (256, 2))
+        return {"main": jnp.mean((x @ params) ** 2)}
+
+    params = jnp.ones((2, 3))
+    flops = {}
+    for n in (1, 8):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",)) if n > 1 \
+            else None
+        solver = Solver(loss, lr=1e-2, max_n_iters=32, chunk_size=32,
+                        early_stop=False, mesh=mesh)
+        state = solver.init_state(params, jax.random.PRNGKey(0))
+        lo = solver._get_chunk_fn(32).lower(state, None)
+        ca = lo.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops[n] = float(ca["flops"])
+        if n == 8:
+            st = lo.as_text()
+            groups = re.findall(
+                r"all_reduce.*?replica_groups = dense<(.*?)>", st)
+            assert groups and "[[0, 1, 2, 3, 4, 5, 6, 7]]" in groups[0], \
+                groups[:1]
+    # weak scaling: per-device work within 35% of the single-device program
+    # (the pmean and sharding bookkeeping add a little)
+    assert flops[8] < 1.35 * flops[1], flops
