@@ -92,6 +92,9 @@ class Config:
     write_tb: bool = False         # optional tensorboard (JSONL metrics always on)
     backup_sources: bool = True
     overwrite: bool = True         # non-interactive overwrite of existing exp dir
+    # MXU pass count for the SIREN derivative chains: default|high|highest
+    # (1/3/6 bf16 passes; speed/accuracy table in COMPARISON.md)
+    matmul_precision: str = "highest"
 
     # ---- derived paths ----
     @property
@@ -177,6 +180,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--fps", type=int, default=10)
 
     p.add_argument("--chunk_size", type=int, default=250)
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   choices=["default", "high", "highest"])
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--debug_nan", action="store_true")
     p.add_argument("--n_devices", type=int, default=0)

@@ -29,6 +29,8 @@ from .solver import Solver
 
 class BaseModel:
     def __init__(self, cfg: Config, mesh=None):
+        from ..ops.precision import set_matmul_precision
+        set_matmul_precision(getattr(cfg, "matmul_precision", "highest"))
         self.cfg = cfg
         self.dt = cfg.dt
         self.max_n_iters = cfg.max_n_iters

@@ -22,6 +22,28 @@ Params = List[Tuple[jax.Array, jax.Array]]  # [(W (in,out), b (out,)), ...]
 
 OMEGA_0 = 30.0  # SIREN frequency factor (reference base/networks.py:27)
 
+# Fused Pallas value+grad+Laplacian kernel dispatch (ops/pallas_vgl.py):
+# "on" | "off" | "auto" (auto = on for TPU backends). Overridable via the
+# INSR_PALLAS_VGL env var; set_pallas_vgl() wins over both.
+import os as _os
+
+_PALLAS_VGL_MODE = _os.environ.get("INSR_PALLAS_VGL", "off")
+
+
+def set_pallas_vgl(mode: str) -> None:
+    """Force the fused-kernel dispatch: 'on', 'off', or 'auto'."""
+    global _PALLAS_VGL_MODE
+    assert mode in ("on", "off", "auto"), mode
+    _PALLAS_VGL_MODE = mode
+
+
+def _pallas_vgl_active() -> bool:
+    if _PALLAS_VGL_MODE == "on":
+        return True
+    if _PALLAS_VGL_MODE == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return False
+
 
 def _linear_bias_init(key, fan_in, fan_out, dtype):
     # torch.nn.Linear default bias init: U[-1/sqrt(fan_in), 1/sqrt(fan_in)]
@@ -79,14 +101,17 @@ class MLP:
               weights: jax.Array | None = None) -> jax.Array:
         """Forward pass on (..., in_features) coords.
 
-        Uses HIGHEST matmul precision: second-order derivatives of sin(30x)
-        amplify rounding by ~30 per derivative order, so the MXU's default
-        bf16-pass f32 lowering is not acceptable here.
+        Matmul precision comes from the global knob (ops/precision.py):
+        second-order derivatives of sin(30x) amplify rounding by ~30 per
+        derivative order, so the MXU's 1-pass bf16 DEFAULT is not acceptable
+        here; HIGH (3-pass, ~f32-equivalent) vs HIGHEST (6-pass) is a
+        measured speed/accuracy trade (COMPARISON.md).
         """
+        from ..ops.precision import matmul_precision
         h = coords
         n_layers = len(params)
         for i, (w, b) in enumerate(params):
-            h = jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
+            h = jnp.dot(h, w, precision=matmul_precision()) + b
             is_last = i == n_layers - 1
             if not is_last or not self.outermost_linear:
                 h = self._nl(h)
@@ -124,8 +149,13 @@ class MLP:
                                     lambda x: self.apply(params, x), coords)
 
     def value_grad_laplacian(self, params: Params, coords: jax.Array):
-        """(u (N, m), J (N, d, m), L (N, m)); same dispatch as value_grad."""
+        """(u (N, m), J (N, d, m), L (N, m)); same dispatch as value_grad,
+        plus the fused Pallas kernel pair (forward + hand-scheduled
+        backward, ops/pallas_vgl.py) when enabled on a TPU backend."""
         if self._is_siren:
+            if _pallas_vgl_active():
+                from ..ops.pallas_vgl import siren_vgl
+                return siren_vgl(params, coords)
             from ..ops.forward_laplacian import value_grad_laplacian as _vgl
             return _vgl(params, coords)
         return _value_grad_laplacian_autodiff(

@@ -110,7 +110,15 @@ class Solver:
                  plateau_threshold: float = 1e-4, plateau_min_lr: float = 1e-8,
                  early_stop_min_lr: float = 1.1e-8,
                  mesh: Optional[Mesh] = None, mesh_axis: str = "data",
-                 debug_nan: bool = False):
+                 debug_nan: bool = False, flatten: bool = True):
+        # flatten=True runs Adam/plateau/freeze on ONE raveled param vector
+        # instead of the per-layer pytree. The per-iteration gradient program
+        # is a small fraction of the compiled step at these network sizes
+        # (measured 0.09 ms of 0.68 ms on the paper-scale fluid pressure
+        # phase, COMPARISON.md): the rest is hundreds of tiny per-leaf
+        # optimizer/latch ops, each dispatch-latency-bound on TPU. Raveling
+        # collapses them ~15x. Adam is elementwise, so the math is identical.
+        self.flatten = flatten
         self.debug_nan = debug_nan
         self.loss_fn = loss_fn
         self.lr = lr
@@ -132,6 +140,8 @@ class Solver:
     # ---- loss/grad with optional collocation sharding ----
     def _value_and_grad(self, params, key, aux):
         def total(p, k, a):
+            if self.flatten:
+                p = self._unravel(p)
             ld = self.loss_fn(p, k, a)
             return sum(ld.values()), ld
 
@@ -185,9 +195,14 @@ class Solver:
 
     def _get_chunk_fn(self, length: int):
         if length not in self._chunk_fns:
+            from ..ops.precision import matmul_precision_name
+
             @partial(jax.jit, donate_argnums=0)
             def run_chunk(state: SolveState, aux):
-                with jax.default_matmul_precision("highest"):
+                # context default for ops without an explicit precision
+                # (einsums in diff/elasticity paths); the SIREN chains pass
+                # the same knob explicitly (ops/precision.py)
+                with jax.default_matmul_precision(matmul_precision_name()):
                     return jax.lax.scan(partial(self._step, aux), state, None,
                                         length=length)
             self._chunk_fns[length] = run_chunk
@@ -195,10 +210,19 @@ class Solver:
 
     # ---- public API ----
     def init_state(self, params, key) -> SolveState:
-        # copy: the chunk runner donates its input state, and the caller's
-        # params buffers may be aliased elsewhere (e.g. as next step's frozen
-        # `prev` field)
-        params = jax.tree_util.tree_map(jnp.copy, params)
+        if self.flatten:
+            from jax.flatten_util import ravel_pytree
+            flat, unravel = ravel_pytree(params)
+            # the unravel closure is structural (treedef + shapes); it is
+            # identical across fits of the same phase, so reusing the cached
+            # compiled chunk (which baked it in at trace time) stays valid
+            self._unravel = unravel
+            params = flat
+        else:
+            # copy: the chunk runner donates its input state, and the
+            # caller's params buffers may be aliased elsewhere (e.g. as next
+            # step's frozen `prev` field); ravel_pytree above already copies
+            params = jax.tree_util.tree_map(jnp.copy, params)
         return SolveState(params, self.opt.init(params), plateau_init(), key)
 
     def fit(self, params, key, aux=None, *, callback=None) -> FitResult:
@@ -225,7 +249,9 @@ class Solver:
                 # report the last *active* loss, not the value logged after
                 # the freeze latch (it is stale once early-stop triggers)
                 last = max(n_active - 1, 0) if n_active < n else n - 1
-                callback(it, state.params,
+                cb_params = (self._unravel(state.params) if self.flatten
+                             else state.params)
+                callback(it, cb_params,
                          {k: v[last] for k, v in outs.items()})
             if n_active < n:  # early-stopped inside this chunk
                 it = it - n + n_active
@@ -233,5 +259,7 @@ class Solver:
         hist = {k: jnp.concatenate([jnp.atleast_1d(jnp.asarray(x)) for x in v])
                 for k, v in history.items()}
         final = float(hist["main"][-1]) if "main" in hist and hist["main"].size else 0.0
-        return FitResult(params=state.params, history=hist, n_iters=it,
+        out_params = (self._unravel(state.params) if self.flatten
+                      else state.params)
+        return FitResult(params=out_params, history=hist, n_iters=it,
                          final_loss=final)

@@ -41,7 +41,7 @@ import numpy as np
 import optax
 
 from ..ops.linalg import (PaddedSparse, cg_batch, cgls_sparse,
-                          cgls_sparse_sharded)
+                          cgls_sparse_chunked, cgls_sparse_sharded)
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, basis_dt, basis_dx, basis_dxdt, basis_hess,
@@ -74,6 +74,15 @@ class VortexConfig:
     cgls_maxiter: int = 2000
     cgls_tol: float = 1e-10
     cgls_damp: float = 0.0
+    # >0: run CGLS as repeated fixed-size chunk programs with host sync
+    # between them instead of one long while_loop program (bit-identical
+    # iterates; bounds single-program size/duration on fragile backends —
+    # the tunneled-TPU reference-scale crash workaround, CLAUDE.md)
+    cgls_chunk: int = 0
+    # round-trip the assembled system through host numpy between the
+    # assemble and solve programs (breaks any device-buffer aliasing
+    # between consecutive programs on the tunneled backend)
+    host_sync: bool = False
     picard_iters: int = 3
     train_lr: float = 0.1
     # 'simple' = reference parity (indicator PoU + scaled space-time KNN);
@@ -427,7 +436,22 @@ class VortexModel:
         res = jnp.nan
         for it in range(cfg.picard_iters):
             A, b = assemble_jit(u_flat, *self._pbs())
-            if self.mesh is not None and solver == "cgls":
+            if cfg.host_sync:
+                # break device-buffer chaining between the assemble and
+                # solve programs (tunneled-backend crash isolation)
+                A = PaddedSparse(
+                    vals=jnp.asarray(np.asarray(A.vals)),
+                    cols=jnp.asarray(np.asarray(A.cols)), n_cols=n_cols)
+                b = jnp.asarray(np.asarray(b))
+            if cfg.cgls_chunk > 0 and solver == "cgls" and self.mesh is None:
+                x, info = cgls_sparse_chunked(
+                    A, b, u_flat * cfg.warm_start,
+                    maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
+                    chunk=cfg.cgls_chunk,
+                    precondition=cfg.cgls_damp == 0.0, damp=cfg.cgls_damp)
+                u_flat, niter = x, info["niter"]
+                res = residual_jit(A.vals, A.cols, b, x)
+            elif self.mesh is not None and solver == "cgls":
                 # rows sharded over the mesh, psum over ICI
                 A = PaddedSparse(vals=A.vals, cols=A.cols, n_cols=n_cols)
                 x, info = cgls_sparse_sharded(

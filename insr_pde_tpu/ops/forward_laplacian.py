@@ -24,6 +24,8 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from .precision import matmul_precision
+
 OMEGA_0 = 30.0
 
 Params = List[Tuple[jax.Array, jax.Array]]
@@ -38,10 +40,10 @@ def value_grad_laplacian(params: Params, coords: jax.Array,
     L = jnp.zeros((n, d), coords.dtype)
     n_layers = len(params)
     for i, (w, b) in enumerate(params):
-        z = jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
+        z = jnp.dot(h, w, precision=matmul_precision()) + b
         Jz = jnp.einsum("ndf,fg->ndg", J, w,
-                        precision=jax.lax.Precision.HIGHEST)
-        Lz = jnp.dot(L, w, precision=jax.lax.Precision.HIGHEST)
+                        precision=matmul_precision())
+        Lz = jnp.dot(L, w, precision=matmul_precision())
         if i < n_layers - 1:
             c = jnp.cos(omega * z)
             s = jnp.sin(omega * z)
@@ -61,9 +63,9 @@ def value_grad(params: Params, coords: jax.Array, omega: float = OMEGA_0):
     J = jnp.broadcast_to(jnp.eye(d, dtype=coords.dtype)[None], (n, d, d))
     n_layers = len(params)
     for i, (w, b) in enumerate(params):
-        z = jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
+        z = jnp.dot(h, w, precision=matmul_precision()) + b
         Jz = jnp.einsum("ndf,fg->ndg", J, w,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=matmul_precision())
         if i < n_layers - 1:
             c = jnp.cos(omega * z)
             h = jnp.sin(omega * z)

@@ -207,6 +207,80 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol, damp=damp)
 
 
+def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
+                        maxiter: int = 500, tol: float = 1e-8,
+                        chunk: int = 200, precondition: bool = True,
+                        damp: float = 0.0):
+    """`cgls_sparse` with the iteration loop split into fixed-size chunk
+    programs (host sync between chunks) instead of one long `while_loop`
+    program.
+
+    Purpose: bound the size/duration of any single XLA program on fragile
+    backends — the reference-scale vortex solve reproducibly kills the
+    tunneled TPU worker when assemble + a 2000-iteration CGLS while_loop
+    run back-to-back (CLAUDE.md), so this caps each program at `chunk`
+    iterations and lets the host breathe (and bisect) between them. One
+    chunk program is compiled and reused; per-chunk convergence freezing
+    matches the while_loop semantics exactly, so the iterates are
+    bit-identical to `cgls_sparse` on a healthy backend (pinned by
+    tests/test_linalg.py).
+    """
+    n_cols = A.n_cols
+    d2 = damp * damp
+
+    @jax.jit
+    def init(vals, cols, b, x0):
+        Aop = PaddedSparse(vals, cols, n_cols)
+        if precondition:
+            dcol = Aop.col_norms()
+            dcol = jnp.where(dcol > 1e-12, 1.0 / dcol, 0.0)
+        else:
+            dcol = jnp.ones((n_cols,), vals.dtype)
+        y0 = x0 / jnp.where(dcol == 0, 1.0, dcol)
+        r0 = b - Aop.mv(dcol * y0)
+        s0 = dcol * Aop.rmv(r0) - d2 * y0
+        gamma0 = jnp.sum(s0 * s0)
+        return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32)), dcol
+
+    @jax.jit
+    def run_chunk(vals, cols, state, dcol, stop2):
+        Aop = PaddedSparse(vals, cols, n_cols)
+
+        def cond(st):
+            y, r, p, gamma, k, j = st
+            return (gamma > stop2) & (j < chunk) & (k < maxiter)
+
+        def step(st):
+            y, r, p, gamma, k, j = st
+            q = Aop.mv(dcol * p)
+            denom = jnp.sum(q * q) + d2 * jnp.sum(p * p)
+            alpha = gamma / jnp.where(denom == 0, 1e-30, denom)
+            y = y + alpha * p
+            r = r - alpha * q
+            s = dcol * Aop.rmv(r) - d2 * y
+            gamma_new = jnp.sum(s * s)
+            beta = gamma_new / jnp.where(gamma == 0, 1e-30, gamma)
+            p = s + beta * p
+            return (y, r, p, gamma_new, k + 1, j + 1)
+
+        y, r, p, gamma, k = state
+        y, r, p, gamma, k, _ = jax.lax.while_loop(
+            cond, step, (y, r, p, gamma, k, jnp.asarray(0, jnp.int32)))
+        return (y, r, p, gamma, k)
+
+    state, dcol = init(A.vals, A.cols, b, x0)
+    stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
+    it = 0
+    while True:
+        state = run_chunk(A.vals, A.cols, state, dcol, stop2)
+        new_it, gamma = int(state[4]), float(state[3])
+        if new_it >= maxiter or gamma <= float(stop2) or new_it == it:
+            break
+        it = new_it
+    y, _, _, gamma, k = state
+    return dcol * y, {"niter": k, "resnorm": jnp.sqrt(gamma)}
+
+
 def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
                         x0: jax.Array, maxiter: int = 500,
                         tol: float = 1e-8, damp: float = 0.0):

@@ -44,6 +44,13 @@ def main(argv=None):
     ap.add_argument("--n_spatial_basis", type=int, default=400)
     ap.add_argument("--picard_iters", type=int, default=3)
     ap.add_argument("--cgls_maxiter", type=int, default=2000)
+    ap.add_argument("--cgls_chunk", type=int, default=0,
+                    help=">0: cap each CGLS program at this many iterations "
+                         "(host sync between chunks; tunneled-TPU crash "
+                         "workaround)")
+    ap.add_argument("--host_sync", action="store_true",
+                    help="round-trip the assembled system through host "
+                         "numpy between assemble and solve programs")
     ap.add_argument("--rho", type=float, default=1000.0,
                     help="reference default 1000 — note the reference's "
                          "rho=1000 impulsive-start channel is ill-conditioned "
@@ -67,6 +74,7 @@ def main(argv=None):
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
+        cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel

@@ -108,6 +108,26 @@ def test_cgls_sparse_with_preconditioning():
     assert np.allclose(np.asarray(x), x_ref, atol=1e-3)
 
 
+def test_cgls_sparse_chunked_matches_while_loop():
+    """Chunked CGLS (bounded per-program iteration count, host sync between
+    chunks) produces the same iterates as the single while_loop program —
+    same niter, near-identical solution — incl. a chunk size that does not
+    divide maxiter and a converged-early case."""
+    from insr_pde_tpu.ops.linalg import cgls_sparse_chunked
+
+    A = _random_padded_sparse(jax.random.PRNGKey(30), R=80, C=24, nnz=5)
+    b = jax.random.normal(jax.random.PRNGKey(31), (80,))
+    for kw in (dict(maxiter=37, tol=1e-30, precondition=True),   # maxiter-bound
+               dict(maxiter=500, tol=1e-10, precondition=True),  # converges
+               dict(maxiter=500, tol=1e-10, precondition=False, damp=1e-2)):
+        x_ref, info_ref = cgls_sparse(A, b, jnp.zeros(24), **kw)
+        x_ch, info_ch = cgls_sparse_chunked(A, b, jnp.zeros(24), chunk=10,
+                                            **kw)
+        assert int(info_ch["niter"]) == int(info_ref["niter"]), kw
+        np.testing.assert_allclose(np.asarray(x_ch), np.asarray(x_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_cgls_sparse_sharded_matches_single_device():
     """Row-sharded CGLS over the 8-device mesh == single-device solution."""
     from jax.sharding import Mesh

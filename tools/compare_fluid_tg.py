@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--eval_res", type=int, default=256)
     ap.add_argument("--proj_dir", type=str, default=None)
+    ap.add_argument("--precision", type=str, default="highest",
+                    choices=["default", "high", "highest"],
+                    help="MXU pass count for the derivative chains")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,6 +72,7 @@ def main(argv=None):
         vis_resolution=32, max_n_iters=args.iters, chunk_size=1000,
         early_stop=True, dt=args.dt, vis_frequency=10 ** 9,
         backup_sources=False, overwrite=True,
+        matmul_precision=args.precision,
     )
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
@@ -101,6 +105,7 @@ def main(argv=None):
     print(json.dumps({
         "summary": "fluid_taylorgreen_analytic_golden",
         "sr": args.sr, "iters": args.iters, "dt": args.dt,
+        "precision": args.precision,
         "rel_l2_t0": round(rows[0], 6),
         "rel_l2_final": round(rows[-1], 6),
         "rel_l2_max": round(max(rows), 6),

@@ -1,5 +1,10 @@
 """Whole-training-loop-in-one-Pallas-kernel for the 1D advection solve.
 
+DEMOTED out of the package (round 2): a validated negative result, not a
+production path — see STATUS below and COMPARISON.md. Kept under
+tools/experiments/ with its test (run `python -m pytest
+tools/experiments/test_pallas_trainer.py` from the repo root).
+
 Measured on the TPU (tools/perf_probe.py advect_scaling): at the bench size
 (5000 points, 2x20 SIREN) ~80% of a 2000-iteration chunk is fixed
 per-HLO-op dispatch overhead inside the lax.scan body — XLA cannot fuse

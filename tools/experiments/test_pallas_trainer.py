@@ -1,14 +1,20 @@
 """Fused whole-loop Pallas trainer: interpret-mode equivalence vs a plain
-JAX/optax implementation of the identical update sequence."""
+JAX/optax implementation of the identical update sequence.
+
+Lives outside tests/ (the component is demoted to an experiment), so the
+suite's CPU-forcing conftest does not apply — force the CPU platform here
+before any jax usage."""
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
 
 from insr_pde_tpu.models.networks import MLP
-from insr_pde_tpu.ops.pallas_trainer import fused_advect_fit
+from tools.experiments.pallas_trainer import fused_advect_fit
 
 HL, DT, VEL, LR = 2.0, 0.05, 0.25, 1e-3
 NS, NB, NIT = 128, 16, 60
@@ -77,7 +83,7 @@ def test_fused_trainer_matches_plain_jax(setup):
 
 def test_fused_trainer_padding_stays_zero(setup):
     net, params, prev, uni = setup
-    from insr_pde_tpu.ops.pallas_trainer import _pad_params
+    from tools.experiments.pallas_trainer import _pad_params
     new_params, _ = fused_advect_fit(
         params, prev, jnp.int32(0), n_iters=10, n_samples=NS,
         n_boundary=NB, half_length=HL, dt=DT, vel=VEL, lr=LR,

@@ -175,8 +175,145 @@ def probe_elasticity3d():
                           "sec_per_timestep": round(t, 3)}), flush=True)
 
 
+def probe_vgl():
+    """Fused Pallas value+grad+Laplacian (fwd + hand-scheduled bwd,
+    ops/pallas_vgl.py) vs the XLA forward-Laplacian chain, measured on the
+    REAL pressure-phase program: a 1000-iteration compiled solve chunk at
+    the paper scale (sr=128 => 16384 pts; reference fluid/model.py:103-125
+    is the hottest region, SURVEY §3.1). Also reports the bare
+    grad-of-Laplacian-loss program to isolate the kernel's share."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models import networks
+    from insr_pde_tpu.models.fluid import Fluid2DModel
+
+    results = {}
+    for mode in ("off", "on"):
+        networks.set_pallas_vgl(mode)
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = Config(pde="fluid", proj_dir=tmp, tag=f"vgl_{mode}",
+                         init_cond="taylorgreen", num_hidden_layers=3,
+                         hidden_features=32, sample_resolution=128,
+                         vis_resolution=32, max_n_iters=1000,
+                         chunk_size=1000, early_stop=False,
+                         vis_frequency=10 ** 9, backup_sources=False)
+            cfg.setup_dirs()
+            model = Fluid2DModel(cfg)
+
+            key = jax.random.PRNGKey(0)
+            aux = {"vel": model.fields["velocity"]}
+            p = model.fields["pressure"]
+
+            def one_iter(p, key, aux):
+                return jax.grad(
+                    lambda q: sum(
+                        model._pressure_loss(q, key, aux).values()))(p)
+
+            g = jax.jit(one_iter)
+
+            def run_grad():
+                jax.block_until_ready(g(p, key, aux))
+
+            t_grad = _time_steps(run_grad, n=20)
+
+            model._run_phase("solve_pressure", model._pressure_loss,
+                             p, aux=aux)          # compile the chunk
+            t_phase = _time_steps(
+                lambda: model._run_phase("solve_pressure",
+                                         model._pressure_loss, p, aux=aux),
+                n=2)
+            results[mode] = (t_grad, t_phase)
+            print(json.dumps({
+                "probe": "vgl", "mode": mode,
+                "grad_program_ms": round(t_grad * 1e3, 4),
+                "pressure_phase_sec_1000it": round(t_phase, 4),
+                "ms_per_iter": round(t_phase, 4),
+            }), flush=True)
+    if "off" in results and "on" in results:
+        print(json.dumps({
+            "probe": "vgl_summary",
+            "grad_speedup": round(results["off"][0] / results["on"][0], 2),
+            "phase_speedup": round(results["off"][1] / results["on"][1], 2),
+        }), flush=True)
+    networks.set_pallas_vgl("off")
+
+
+def probe_precision():
+    """MXU pass count (default=1, high=3, highest=6 bf16 passes) on the
+    paper-scale pressure phase: wall-clock per 1000-iteration chunk AND
+    value/grad/Laplacian deviation vs the 6-pass chain on identical inputs.
+    The solve chunks are MXU-bound, so pass count ~ step time."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.fluid import Fluid2DModel
+    from insr_pde_tpu.models.networks import MLP
+    from insr_pde_tpu.ops import precision as prec
+    from insr_pde_tpu.ops.forward_laplacian import value_grad_laplacian
+
+    # -- accuracy: chain outputs vs highest, fixed params/coords
+    net = MLP(2, 1, num_hidden_layers=3, hidden_features=32)
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16384, 2),
+                           minval=-1.0, maxval=1.0)
+    outs = {}
+    for level in ("highest", "high", "default"):
+        prec.set_matmul_precision(level)
+        # fresh lambda per level: the precision knob is read at TRACE time
+        # and jax caches traces by function identity — re-jitting the same
+        # function object would silently reuse the first level's trace
+        fn = jax.jit(lambda p, c: value_grad_laplacian(p, c))
+        outs[level] = fn(params, x)
+        jax.block_until_ready(outs[level])
+    prec.set_matmul_precision("highest")
+
+    def rel(a, b):
+        num = float(jnp.linalg.norm(a - b))
+        den = float(jnp.linalg.norm(b)) or 1.0
+        return num / den
+
+    for level in ("high", "default"):
+        print(json.dumps({
+            "probe": "precision_accuracy", "level": level,
+            "rel_u_vs_highest": rel(outs[level][0], outs["highest"][0]),
+            "rel_J_vs_highest": rel(outs[level][1], outs["highest"][1]),
+            "rel_L_vs_highest": rel(outs[level][2], outs["highest"][2]),
+        }), flush=True)
+
+    # -- timing: the real pressure-phase chunk per level
+    for level in ("highest", "high", "default"):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = Config(pde="fluid", proj_dir=tmp, tag=f"prec_{level}",
+                         init_cond="taylorgreen", num_hidden_layers=3,
+                         hidden_features=32, sample_resolution=128,
+                         vis_resolution=32, max_n_iters=1000,
+                         chunk_size=1000, early_stop=False,
+                         vis_frequency=10 ** 9, backup_sources=False,
+                         matmul_precision=level)
+            cfg.setup_dirs()
+            model = Fluid2DModel(cfg)
+            aux = {"vel": model.fields["velocity"]}
+            p = model.fields["pressure"]
+            model._run_phase("solve_pressure", model._pressure_loss, p,
+                             aux=aux)
+            t = _time_steps(lambda: model._run_phase(
+                "solve_pressure", model._pressure_loss, p, aux=aux), n=3)
+            print(json.dumps({"probe": "precision_timing", "level": level,
+                              "pressure_sec_1000it": round(t, 4)}),
+                  flush=True)
+
+
 if __name__ == "__main__":
     {"prng": probe_prng, "pallas": probe_pallas,
      "fluid": probe_fluid,
      "advect_scaling": probe_advect_scaling,
-     "elasticity3d": probe_elasticity3d}[sys.argv[1]]()
+     "elasticity3d": probe_elasticity3d,
+     "vgl": probe_vgl,
+     "precision": probe_precision}[sys.argv[1]]()

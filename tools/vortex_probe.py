@@ -1,0 +1,120 @@
+"""Staged vortex-solve probe for bisecting the tunneled-TPU crash envelope.
+
+Round 1 found the reference-scale vortex solve (assemble 35600x384 ELL +
+2000-iteration CGLS) reproducibly kills the tunneled TPU worker while every
+component program runs there individually and the whole pipeline runs on CPU
+(CLAUDE.md). This probe runs the pipeline stage by stage with flushed
+progress markers so a crash pinpoints its stage, and exposes the two
+workarounds as knobs:
+
+  --cgls_chunk N   cap each CGLS program at N iterations (host sync between)
+  --host_sync      round-trip the assembled system through host numpy
+
+Usage (scale sweep):
+  python tools/vortex_probe.py --n_spatial_basis 100 --time_num 4 \
+      --collocation 250 --boundary 120
+  python tools/vortex_probe.py            # full reference scale (400x10)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--formulation", choices=["velocity", "stream"],
+                    default="velocity")
+    ap.add_argument("--n_spatial_basis", type=int, default=400)
+    ap.add_argument("--time_num", type=int, default=10)
+    ap.add_argument("--collocation", type=int, default=1000)
+    ap.add_argument("--boundary", type=int, default=400)
+    ap.add_argument("--picard_iters", type=int, default=3)
+    ap.add_argument("--cgls_maxiter", type=int, default=2000)
+    ap.add_argument("--cgls_chunk", type=int, default=0)
+    ap.add_argument("--host_sync", action="store_true")
+    ap.add_argument("--pou", default=None,
+                    help="default: simple (velocity) / smooth (stream)")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--skip_health", action="store_true")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from insr_pde_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if not args.skip_health:
+        log("health probe: tiny matmul ...")
+        t0 = time.time()
+        x = jnp.ones((128, 128))
+        r = float(jnp.sum(x @ x))
+        log(f"health OK ({r:.0f}) in {time.time() - t0:.1f}s on "
+            f"{jax.devices()[0].platform}")
+
+    from insr_pde_tpu.models.vortex import (StreamVortexModel, VortexConfig,
+                                            VortexModel, relative_divergence)
+
+    if args.formulation == "stream":
+        pou = args.pou or "smooth"
+        damp, bw, w_bc = 0.0, 1.0, 5.0
+    else:
+        pou = args.pou or "simple"
+        damp = 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0
+        bw, w_bc = 10.0, 1.0
+
+    cfg = VortexConfig(
+        n_spatial_basis=args.n_spatial_basis, time_num=args.time_num,
+        collocation_pts_num=args.collocation, boundary_num=args.boundary,
+        picard_iters=1, cgls_maxiter=args.cgls_maxiter,
+        cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
+        pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
+        log_dir="/tmp/vortex_probe_log")
+    cls = StreamVortexModel if args.formulation == "stream" else VortexModel
+
+    log(f"stage 1: model init (basis + point gather) "
+        f"{args.n_spatial_basis}x{args.time_num}, "
+        f"{args.collocation}+{args.boundary} pts/slice ...")
+    t0 = time.time()
+    model = cls(cfg, log=False)
+    jax.block_until_ready(model.pb.vals if hasattr(model.pb, "vals")
+                          else jax.tree_util.tree_leaves(model.pb)[0])
+    log(f"stage 1 OK in {time.time() - t0:.1f}s")
+
+    for it in range(args.picard_iters):
+        log(f"stage 2.{it}: assemble + solve (picard iter {it}, "
+            f"chunk={args.cgls_chunk}, host_sync={args.host_sync}) ...")
+        t0 = time.time()
+        res = model.matrix_solver()
+        log(f"stage 2.{it} OK in {time.time() - t0:.1f}s, |Ax-b| = {res:.4e}")
+
+    log("stage 3: sample_field + divergence metric ...")
+    t0 = time.time()
+    vals, _ = model.sample_field(64)
+    vals = np.asarray(vals)
+    rdiv = relative_divergence(model, 64)
+    umax = float(np.max(np.abs(vals[..., :2])))
+    log(f"stage 3 OK in {time.time() - t0:.1f}s; rel divergence {rdiv:.3e}, "
+        f"max |u| {umax:.3f}")
+    log("ALL STAGES OK")
+
+
+if __name__ == "__main__":
+    main()
