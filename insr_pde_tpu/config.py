@@ -93,8 +93,12 @@ class Config:
     backup_sources: bool = True
     overwrite: bool = True         # non-interactive overwrite of existing exp dir
     # MXU pass count for the SIREN derivative chains: default|high|highest
-    # (1/3/6 bf16 passes; speed/accuracy table in COMPARISON.md)
-    matmul_precision: str = "highest"
+    # (1/3/6 bf16 passes). Default "high" (3-pass): measured 1.34x faster
+    # than "highest" on the paper-scale pressure phase with ~2e-4 chain
+    # deviation and an unchanged Taylor-Green golden; "default" (1-pass
+    # bf16) is NOT safe for the second-order chains (~5e-2 deviation).
+    # Speed/accuracy table in COMPARISON.md.
+    matmul_precision: str = "high"
 
     # ---- derived paths ----
     @property
@@ -180,7 +184,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--fps", type=int, default=10)
 
     p.add_argument("--chunk_size", type=int, default=250)
-    p.add_argument("--matmul_precision", type=str, default="highest",
+    p.add_argument("--matmul_precision", type=str, default="high",
                    choices=["default", "high", "highest"])
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--debug_nan", action="store_true")

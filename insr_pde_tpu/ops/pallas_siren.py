@@ -44,7 +44,10 @@ def _siren_kernel(n_layers: int, *refs):
     for i in range(n_layers):
         w = refs[1 + 2 * i][:]
         b = refs[2 + 2 * i][:]
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        # explicit precision: Mosaic rejects the ambient HIGH level the
+        # solver's default_matmul_precision context would otherwise inject
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + b
         if i < n_layers - 1:
             h = jnp.sin(OMEGA_0 * h)
     out_ref[:] = h

@@ -62,8 +62,25 @@ def _stack_params(params: Params):
     return jnp.stack(ws), jnp.stack(bs)
 
 
+# Explicit, Mosaic-supported precision on every kernel dot: the solver
+# compiles phase programs under jax.default_matmul_precision(cfg knob), and
+# Mosaic's dot lowering rejects the ambient HIGH (3-pass) level — only
+# DEFAULT/HIGHEST lower. The chains carry second derivatives of sin(30x)
+# (~30x rounding amplification per order), so pin HIGHEST, never DEFAULT.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_PREC)
+
+
+def _dot_rows(a, b):
+    """a^T @ b without materializing the transpose: contract the ROW axis
+    directly (Mosaic lowers an explicit .T to a VPU relayout; dot_general
+    with row-contracting dims feeds the MXU straight)."""
+    return jax.lax.dot_general(a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_PREC)
 
 
 def _forward_chain(x, w_ref, b_ref, n_layers, d, omega, keep=False):
@@ -134,15 +151,19 @@ def _vgl_bwd_kernel(n_layers, d, omega, x_ref, w_ref, b_ref,
         else:
             gz, gJz, gLz = gh, gJ, gL
         w = w_ref[i]
-        gw = _dot(h.T, gz) + _dot(L.T, gLz)
+        gw = _dot_rows(h, gz) + _dot_rows(L, gLz)
         for a in range(d):
-            gw = gw + _dot(J[a].T, gJz[a])
+            gw = gw + _dot_rows(J[a], gJz[a])
         gw_ref[i] += gw
         gb_ref[i] += jnp.sum(gz, axis=0, keepdims=True)
-        wt = w.T
-        gh = _dot(gz, wt)
-        gJ = [_dot(gJz[a], wt) for a in range(d)]
-        gL = _dot(gLz, wt)
+        # gh = gz W^T: contract the LANE axis of both (again no transpose)
+        def _dot_cols(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+        gh = _dot_cols(gz, w)
+        gJ = [_dot_cols(gJz[a], w) for a in range(d)]
+        gL = _dot_cols(gLz, w)
     # d(chain)/d(coords): J/L inits are constants, so only gh survives
     gx_ref[:] = gh
 
