@@ -289,6 +289,61 @@ def run_ours(args, tmp):
     return fields
 
 
+def _rel(a, b):
+    a, b = np.asarray(a).reshape(-1), np.asarray(b).reshape(-1)
+    den = max(0.5 * (np.linalg.norm(a) + np.linalg.norm(b)), 1e-30)
+    return float(np.linalg.norm(a - b) / den)
+
+
+def seed_study(args):
+    """Run BOTH solvers once per seed; per timestep report the pairwise
+    rel-L2 spread of each framework against itself (the RNG-basin floor —
+    same code, different init/sampling streams) next to the mean
+    cross-framework rel L2. If cross ~ within-framework spread, the
+    remaining disagreement is basin noise, not model mismatch
+    (round-1 VERDICT #7; reference RNG: base/baseModel.py torch.manual_seed
+    has no analogue — each side uses its own stream per seed)."""
+    seeds = [int(s) for s in args.seeds.split(",")]
+    runs = {"ref": {}, "ours": {}}
+    for seed in seeds:
+        args.seed = seed
+        with tempfile.TemporaryDirectory() as tmp:
+            print(f"seed {seed}: reference (torch CPU)...", file=sys.stderr)
+            r = run_reference(args, tmp)
+            print(f"seed {seed}: insr_pde_tpu...", file=sys.stderr)
+            o = run_ours(args, tmp)
+        if args.pde == "elasticity3d":
+            r.pop(), o.pop()
+        runs["ref"][seed], runs["ours"][seed] = r, o
+
+    n_steps = len(runs["ref"][seeds[0]])
+    pairs = [(a, b) for i, a in enumerate(seeds) for b in seeds[i + 1:]]
+    rows = []
+    for t in range(n_steps):
+        rr = [_rel(runs["ref"][a][t], runs["ref"][b][t]) for a, b in pairs]
+        oo = [_rel(runs["ours"][a][t], runs["ours"][b][t]) for a, b in pairs]
+        xx = [_rel(runs["ref"][a][t], runs["ours"][b][t])
+              for a in seeds for b in seeds]
+        rows.append({"timestep": t,
+                     "ref_vs_ref_mean": float(np.mean(rr)),
+                     "ref_vs_ref_max": float(np.max(rr)),
+                     "ours_vs_ours_mean": float(np.mean(oo)),
+                     "cross_mean": float(np.mean(xx)),
+                     "cross_min": float(np.min(xx))})
+
+    print(f"\n| t | ref-vs-ref (mean/max) | ours-vs-ours | "
+          f"cross (mean/min) |  ({args.pde}, seeds {seeds})")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['timestep']} | {r['ref_vs_ref_mean']:.3e} / "
+              f"{r['ref_vs_ref_max']:.3e} | {r['ours_vs_ours_mean']:.3e} | "
+              f"{r['cross_mean']:.3e} / {r['cross_min']:.3e} |")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"pde": args.pde, "config": vars(args), "rows": rows},
+                      f, indent=2, default=str)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pde", choices=["advection", "fluid", "elasticity",
@@ -312,6 +367,12 @@ def main():
     ap.add_argument("--early_stop", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma list, e.g. 0,1,2: run BOTH sides once per "
+                         "seed and report the cross-seed spread of each "
+                         "framework against itself next to the "
+                         "cross-framework error — separates framework "
+                         "mismatch from RNG-basin noise (VERDICT r1 #7)")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu)")
@@ -340,6 +401,9 @@ def main():
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+
+    if args.seeds is not None:
+        return seed_study(args)
 
     with tempfile.TemporaryDirectory() as tmp:
         print(f"running reference ({args.pde}, torch CPU)...",

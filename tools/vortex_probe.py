@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--host_sync", action="store_true")
     ap.add_argument("--pou", default=None,
                     help="default: simple (velocity) / smooth (stream)")
+    ap.add_argument("--rho", type=float, default=1000.0,
+                    help="reference default 1000; its impulsive-start "
+                         "channel at rho=1000 is ill-conditioned (the "
+                         "reference notebook concedes the scene fails)")
+    ap.add_argument("--internal_v", type=float, default=8.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")
     args = ap.parse_args()
@@ -81,6 +86,7 @@ def main():
         bw, w_bc = 10.0, 1.0
 
     cfg = VortexConfig(
+        rho=args.rho, internal_v=args.internal_v,
         n_spatial_basis=args.n_spatial_basis, time_num=args.time_num,
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         picard_iters=1, cgls_maxiter=args.cgls_maxiter,
@@ -105,14 +111,41 @@ def main():
         res = model.matrix_solver()
         log(f"stage 2.{it} OK in {time.time() - t0:.1f}s, |Ax-b| = {res:.4e}")
 
-    log("stage 3: sample_field + divergence metric ...")
+    log("stage 3: sample_field + divergence + inlet metrics ...")
     t0 = time.time()
     vals, _ = model.sample_field(64)
     vals = np.asarray(vals)
     rdiv = relative_divergence(model, 64)
     umax = float(np.max(np.abs(vals[..., :2])))
-    log(f"stage 3 OK in {time.time() - t0:.1f}s; rel divergence {rdiv:.3e}, "
-        f"max |u| {umax:.3f}")
+
+    # inlet BC: u = (internal_v, 0) on the left wall for all t>0 slices
+    # (vortex.py block 5); mean relative error of u_x at wall-adjacent
+    # sample columns
+    r = 64
+    grid_vals = vals.reshape(vals.shape[0], r, r, -1)
+    inlet_ux = grid_vals[1:, 0, :, 0]        # x-index 0 = left wall column
+    inlet_err = float(np.mean(np.abs(inlet_ux - args.internal_v))
+                      / max(abs(args.internal_v), 1e-30))
+
+    # stream formulation: continuity is analytic — measure it directly at
+    # random interior space-time points (mixed-Hessian antisymmetry)
+    adiv = None
+    if args.formulation == "stream":
+        import insr_pde_tpu.models.vortex as V
+        from insr_pde_tpu.models.rbf import field_hess
+        key = jax.random.PRNGKey(7)
+        xq = jax.random.uniform(key, (512, 2), minval=-0.95, maxval=0.95)
+        tq = jax.random.uniform(jax.random.PRNGKey(8), (512,),
+                                minval=0.0, maxval=model.cfg.time_length)
+        pb2 = model._point_basis(model.params, xq, tq, second=True)
+        H = field_hess(pb2, model.params.u)[:, V.PSI]
+        adiv = (float(jnp.max(jnp.abs(H[:, 1, 0] - H[:, 0, 1])))
+                / (float(jnp.max(jnp.abs(H))) + 1e-30))
+
+    log(f"stage 3 OK in {time.time() - t0:.1f}s; rel divergence (FD) "
+        f"{rdiv:.3e}"
+        + (f", analytic {adiv:.3e}" if adiv is not None else "")
+        + f", inlet rel err {inlet_err:.3e}, max |u| {umax:.3f}")
     log("ALL STAGES OK")
 
 
