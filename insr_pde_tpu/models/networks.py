@@ -22,29 +22,6 @@ Params = List[Tuple[jax.Array, jax.Array]]  # [(W (in,out), b (out,)), ...]
 
 OMEGA_0 = 30.0  # SIREN frequency factor (reference base/networks.py:27)
 
-# Fused Pallas value+grad+Laplacian kernel dispatch (ops/pallas_vgl.py):
-# "on" | "off" | "auto" (auto = on for TPU backends). Overridable via the
-# INSR_PALLAS_VGL env var; set_pallas_vgl() wins over both.
-import os as _os
-
-_PALLAS_VGL_MODE = _os.environ.get("INSR_PALLAS_VGL", "off")
-
-
-def set_pallas_vgl(mode: str) -> None:
-    """Force the fused-kernel dispatch: 'on', 'off', or 'auto'."""
-    global _PALLAS_VGL_MODE
-    assert mode in ("on", "off", "auto"), mode
-    _PALLAS_VGL_MODE = mode
-
-
-def _pallas_vgl_active() -> bool:
-    if _PALLAS_VGL_MODE == "on":
-        return True
-    if _PALLAS_VGL_MODE == "auto":
-        return jax.default_backend() in ("tpu", "axon")
-    return False
-
-
 def _linear_bias_init(key, fan_in, fan_out, dtype):
     # torch.nn.Linear default bias init: U[-1/sqrt(fan_in), 1/sqrt(fan_in)]
     bound = 1.0 / math.sqrt(fan_in)
@@ -149,13 +126,15 @@ class MLP:
                                     lambda x: self.apply(params, x), coords)
 
     def value_grad_laplacian(self, params: Params, coords: jax.Array):
-        """(u (N, m), J (N, d, m), L (N, m)); same dispatch as value_grad,
-        plus the fused Pallas kernel pair (forward + hand-scheduled
-        backward, ops/pallas_vgl.py) when enabled on a TPU backend."""
+        """(u (N, m), J (N, d, m), L (N, m)); same dispatch as value_grad.
+
+        The XLA forward-Laplacian chain is the production path on purpose:
+        for these net widths XLA already runs the (N, 32)x(32, 32) dot
+        chain at the width-limited MXU ceiling, and the fused Pallas
+        value+grad+Laplacian kernel pair measured 235x SLOWER on the grad
+        program (tools/experiments/pallas_vgl.py has the kernels, the
+        measurement, and the analysis)."""
         if self._is_siren:
-            if _pallas_vgl_active():
-                from ..ops.pallas_vgl import siren_vgl
-                return siren_vgl(params, coords)
             from ..ops.forward_laplacian import value_grad_laplacian as _vgl
             return _vgl(params, coords)
         return _value_grad_laplacian_autodiff(

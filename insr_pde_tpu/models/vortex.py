@@ -74,6 +74,11 @@ class VortexConfig:
     cgls_maxiter: int = 2000
     cgls_tol: float = 1e-10
     cgls_damp: float = 0.0
+    # "auto" = precondition iff undamped (round-1 behavior); "on" combines
+    # Jacobi column scaling WITH damping — the damp then penalizes the
+    # well-scaled variable, suppressing the near-null-column amplification
+    # that blows up solution amplitude at reference scale
+    cgls_precondition: str = "auto"   # auto | on | off
     # >0: run CGLS as repeated fixed-size chunk programs with host sync
     # between them instead of one long while_loop program (bit-identical
     # iterates; bounds single-program size/duration on fragile backends —
@@ -393,6 +398,8 @@ class VortexModel:
         compiles far faster there)."""
         cfg = self.cfg
         n_cols = self.rbf_cfg.n_coeffs
+        precond = {"auto": cfg.cgls_damp == 0.0,
+                   "on": True, "off": False}[cfg.cgls_precondition]
 
         if not hasattr(self, "_solver_jits"):
             self._solver_jits = {}
@@ -414,7 +421,7 @@ class VortexModel:
                     x, info = cgls_sparse(A, b, x0,
                                           maxiter=cfg.cgls_maxiter,
                                           tol=cfg.cgls_tol,
-                                          precondition=cfg.cgls_damp == 0.0,
+                                          precondition=precond,
                                           damp=cfg.cgls_damp)
                     niter = info["niter"]
                 res = jnp.linalg.norm(A.mv(x) - b)
@@ -448,7 +455,7 @@ class VortexModel:
                     A, b, u_flat * cfg.warm_start,
                     maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
                     chunk=cfg.cgls_chunk,
-                    precondition=cfg.cgls_damp == 0.0, damp=cfg.cgls_damp)
+                    precondition=precond, damp=cfg.cgls_damp)
                 u_flat, niter = x, info["niter"]
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":
@@ -473,6 +480,38 @@ class VortexModel:
         self.params = self.params._replace(
             u=u_flat.reshape(self.params.u.shape))
         return float(res)
+
+    def block_names_counts(self):
+        """Residual-block layout of assemble(), in row order — the
+        diagnostic map for block_residuals()."""
+        pts, cfg = self.pts, self.cfg
+        return ([("momentum_u", len(pts.inner)),
+                 ("momentum_v", len(pts.inner))] +
+                [("continuity", len(pts.inner)),
+                 ("free_slip", len(pts.neu)),
+                 ("outlet_p", len(pts.dirp)),
+                 ("inlet_u", len(pts.left)),
+                 ("inlet_v", len(pts.left))] +
+                [(f"init_var{e}", len(pts.init))
+                 for e in range(cfg.n_variables)])
+
+    def block_residuals(self) -> dict:
+        """Per-block rms residual |A x - b| around the CURRENT coefficients
+        (weighted/normalized rows, i.e. exactly what CGLS minimizes) — the
+        diagnostic for which physics the least-squares compromise is
+        sacrificing."""
+        A, b = jax.jit(lambda u, *pbs: self.assemble(u, *pbs))(
+            self.params.u, *self._pbs())
+        r = np.asarray(A.mv(self.params.u.reshape(-1)) - b)
+        b_np = np.asarray(b)
+        out, ofs = {}, 0
+        for name, n in self.block_names_counts():
+            blk = r[ofs:ofs + n]
+            out[name] = {"rms": float(np.sqrt(np.mean(blk ** 2))),
+                         "rhs_rms": float(np.sqrt(np.mean(
+                             b_np[ofs:ofs + n] ** 2)))}
+            ofs += n
+        return out
 
     # ---------------- evaluation / outputs ----------------
     def sample_field(self, resolution: int):
@@ -662,6 +701,20 @@ class StreamVortexModel(VortexModel):
         return A, jnp.concatenate(rhs_list, axis=0)
 
     # -------- nonlinear (Adam) residual --------
+    def block_names_counts(self):
+        pts, cfg = self.pts, self.cfg
+        return ([("momentum_u", len(pts.inner)),
+                 ("momentum_v", len(pts.inner)),
+                 ("free_slip", len(pts.neu)),
+                 ("outlet_p", len(pts.dirp)),
+                 ("inlet_u", len(pts.left)),
+                 ("inlet_v", len(pts.left)),
+                 ("init_u", len(pts.init)),
+                 ("init_v", len(pts.init)),
+                 ("init_p", len(pts.init)),
+                 ("init_psi", len(pts.init)),
+                 ("gauge_psi", len(self.gauge_ids))])
+
     def residual_loss(self, u: jax.Array, pb=None, pb2=None) -> jax.Array:
         cfg, pts = self.cfg, self.pts
         pb = self.pb if pb is None else pb

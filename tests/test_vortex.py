@@ -388,3 +388,19 @@ def test_stream_write_output(tmp_path, tiny_stream):
     assert (tmp_path / "field.npy").exists()
     arr = np.load(tmp_path / "field.npy")
     assert arr.shape == (3, 64, 3)  # [u, v, p] per grid point per slice
+
+
+def test_block_residual_layout_matches_assembly(tiny_stream, tiny_vortex):
+    """block_names_counts must tile the assembled system exactly (same row
+    order as assemble()); block_residuals keys on it for diagnostics."""
+    for m in (tiny_stream, tiny_vortex):
+        _, b = m.assemble(m.params.u)
+        counts = m.block_names_counts()
+        assert sum(n for _, n in counts) == b.shape[0], m.__class__.__name__
+        blocks = m.block_residuals()
+        assert set(blocks) == {name for name, _ in counts}
+        # inlet_u rhs is the nonzero block (u = internal_v) — checks the
+        # offsets actually line up with the right rows
+        assert blocks["inlet_u"]["rhs_rms"] > 0
+        for name in ("free_slip", "outlet_p"):
+            assert blocks[name]["rhs_rms"] == 0.0

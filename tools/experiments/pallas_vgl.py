@@ -1,5 +1,24 @@
 """Pallas TPU kernels: fused SIREN value+gradient+Laplacian, forward AND
-hand-scheduled backward.
+hand-scheduled backward. DEMOTED EXPERIMENT — measured negative result.
+
+Measured on the TPU (tools/perf_probe.py vgl, paper-scale pressure phase,
+16384 pts, 3x32 SIREN): grad program 28.3 ms with these kernels vs 0.12 ms
+for the XLA forward-Laplacian chain + autodiff — 235x slower, even after
+replacing all in-kernel transposes with row/lane-contracting dot_generals.
+Why XLA wins here: its grad program keeps every dot at (16384, 32)x(32, 32)
+— full batch rows amortize MXU latency, and 0.12 ms for ~1.6 GFLOP is
+~13 TFLOP/s, i.e. the width-32 ceiling of the 128-lane MXU (32/128 of peak)
+— XLA is already at the hardware limit set by the net width, with all
+elementwise ops fused. These kernels instead tile the batch to 256-row
+blocks (64 sequential grid steps) and pad width 32 -> 128 (16x redundant
+FLOPs); each grid step runs ~50 small MXU ops serialized by the layer-chain
+dependency, which is latency-bound. A Pallas kernel can only match, never
+beat, XLA on this shape; custom kernels pay off where XLA leaves layout or
+fusion on the table (see ops/pallas_siren.py forward at width 128: 1.21x),
+not where the program is a dependent chain of MXU-resident dots.
+
+Kept (with the equivalence tests, test_pallas_vgl.py) as the documented
+second negative result alongside pallas_trainer.py.
 
 The fluid pressure Poisson solve is the reference's hottest region
 (reference fluid/model.py:103-125; SURVEY.md §3.1): every Adam iteration

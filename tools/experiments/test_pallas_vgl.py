@@ -1,19 +1,23 @@
 """Equivalence pins for the fused Pallas value+grad+Laplacian kernels
-(ops/pallas_vgl.py) against the XLA forward-Laplacian chain + autodiff.
+(tools/experiments/pallas_vgl.py — demoted experiment, measured negative
+result) against the XLA forward-Laplacian chain + autodiff.
 
-Interpreter mode (tests force the CPU platform); the real-TPU timing lives
-in tools/perf_probe.py / COMPARISON.md.
+Lives outside tests/ with its component, so the suite's CPU-forcing
+conftest does not apply — force the CPU platform here (interpreter mode).
+Run directly: `pytest tools/experiments/test_pallas_vgl.py`.
 """
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from insr_pde_tpu.models.networks import MLP
 from insr_pde_tpu.ops import forward_laplacian as fl
-from insr_pde_tpu.ops.pallas_vgl import (siren_vgl_bwd_interpret,
-                                         siren_vgl_interpret)
+from tools.experiments.pallas_vgl import (siren_vgl_bwd_interpret,
+                                          siren_vgl_interpret)
 
 
 @pytest.mark.parametrize("d,m,layers,width,n", [

@@ -176,70 +176,43 @@ def probe_elasticity3d():
 
 
 def probe_vgl():
-    """Fused Pallas value+grad+Laplacian (fwd + hand-scheduled bwd,
-    ops/pallas_vgl.py) vs the XLA forward-Laplacian chain, measured on the
-    REAL pressure-phase program: a 1000-iteration compiled solve chunk at
-    the paper scale (sr=128 => 16384 pts; reference fluid/model.py:103-125
-    is the hottest region, SURVEY §3.1). Also reports the bare
-    grad-of-Laplacian-loss program to isolate the kernel's share."""
-    import tempfile
-
+    """DEMOTED-EXPERIMENT probe: the fused Pallas value+grad+Laplacian
+    kernel pair (tools/experiments/pallas_vgl.py) vs the XLA
+    forward-Laplacian chain + autodiff, on the pressure-net grad program at
+    paper scale (16384 pts, 3x32 SIREN; reference fluid/model.py:103-125).
+    Measured 235x SLOWER — the analysis of why lives in the experiment's
+    module docstring; the XLA chain is the production path."""
     import jax
     import jax.numpy as jnp
 
-    from insr_pde_tpu.config import Config
-    from insr_pde_tpu.models import networks
-    from insr_pde_tpu.models.fluid import Fluid2DModel
+    from insr_pde_tpu.models.networks import MLP
+    from insr_pde_tpu.ops.forward_laplacian import value_grad_laplacian
+    from tools.experiments.pallas_vgl import siren_vgl
+
+    net = MLP(2, 1, num_hidden_layers=3, hidden_features=32)
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16384, 2),
+                           minval=-1.0, maxval=1.0)
+
+    def loss_of(chain_fn):
+        def loss(p):
+            u, J, L = chain_fn(p, x)
+            return jnp.mean(L ** 2) + jnp.mean(u ** 2) + jnp.mean(J ** 2)
+        return jax.jit(jax.grad(loss))
 
     results = {}
-    for mode in ("off", "on"):
-        networks.set_pallas_vgl(mode)
-        with tempfile.TemporaryDirectory() as tmp:
-            cfg = Config(pde="fluid", proj_dir=tmp, tag=f"vgl_{mode}",
-                         init_cond="taylorgreen", num_hidden_layers=3,
-                         hidden_features=32, sample_resolution=128,
-                         vis_resolution=32, max_n_iters=1000,
-                         chunk_size=1000, early_stop=False,
-                         vis_frequency=10 ** 9, backup_sources=False)
-            cfg.setup_dirs()
-            model = Fluid2DModel(cfg)
-
-            key = jax.random.PRNGKey(0)
-            aux = {"vel": model.fields["velocity"]}
-            p = model.fields["pressure"]
-
-            def one_iter(p, key, aux):
-                return jax.grad(
-                    lambda q: sum(
-                        model._pressure_loss(q, key, aux).values()))(p)
-
-            g = jax.jit(one_iter)
-
-            def run_grad():
-                jax.block_until_ready(g(p, key, aux))
-
-            t_grad = _time_steps(run_grad, n=20)
-
-            model._run_phase("solve_pressure", model._pressure_loss,
-                             p, aux=aux)          # compile the chunk
-            t_phase = _time_steps(
-                lambda: model._run_phase("solve_pressure",
-                                         model._pressure_loss, p, aux=aux),
-                n=2)
-            results[mode] = (t_grad, t_phase)
-            print(json.dumps({
-                "probe": "vgl", "mode": mode,
-                "grad_program_ms": round(t_grad * 1e3, 4),
-                "pressure_phase_sec_1000it": round(t_phase, 4),
-                "ms_per_iter": round(t_phase, 4),
-            }), flush=True)
-    if "off" in results and "on" in results:
-        print(json.dumps({
-            "probe": "vgl_summary",
-            "grad_speedup": round(results["off"][0] / results["on"][0], 2),
-            "phase_speedup": round(results["off"][1] / results["on"][1], 2),
-        }), flush=True)
-    networks.set_pallas_vgl("off")
+    for name, fn in (("xla", lambda p, c: value_grad_laplacian(p, c)),
+                     ("pallas", lambda p, c: siren_vgl(p, c))):
+        g = loss_of(fn)
+        jax.block_until_ready(g(params))
+        t = _time_steps(lambda: jax.block_until_ready(g(params)), n=20)
+        results[name] = t
+        print(json.dumps({"probe": "vgl", "impl": name,
+                          "grad_program_ms": round(t * 1e3, 4)}), flush=True)
+    print(json.dumps({
+        "probe": "vgl_summary",
+        "pallas_over_xla": round(results["pallas"] / results["xla"], 2),
+    }), flush=True)
 
 
 def probe_precision():

@@ -51,6 +51,12 @@ def main():
                          "channel at rho=1000 is ill-conditioned (the "
                          "reference notebook concedes the scene fails)")
     ap.add_argument("--internal_v", type=float, default=8.0)
+    ap.add_argument("--damp", type=float, default=None,
+                    help="override cgls_damp (default: formulation preset)")
+    ap.add_argument("--precondition", choices=["auto", "on", "off"],
+                    default="auto")
+    ap.add_argument("--w_bc", type=float, default=None)
+    ap.add_argument("--band_width", type=float, default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")
     args = ap.parse_args()
@@ -85,6 +91,12 @@ def main():
         damp = 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0
         bw, w_bc = 10.0, 1.0
 
+    if args.damp is not None:
+        damp = args.damp
+    if args.w_bc is not None:
+        w_bc = args.w_bc
+    if args.band_width is not None:
+        bw = args.band_width
     cfg = VortexConfig(
         rho=args.rho, internal_v=args.internal_v,
         n_spatial_basis=args.n_spatial_basis, time_num=args.time_num,
@@ -92,6 +104,7 @@ def main():
         picard_iters=1, cgls_maxiter=args.cgls_maxiter,
         cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
+        cgls_precondition=args.precondition,
         log_dir="/tmp/vortex_probe_log")
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
 
@@ -146,6 +159,8 @@ def main():
         f"{rdiv:.3e}"
         + (f", analytic {adiv:.3e}" if adiv is not None else "")
         + f", inlet rel err {inlet_err:.3e}, max |u| {umax:.3f}")
+    for name, d in model.block_residuals().items():
+        log(f"  block {name:12s} rms {d['rms']:.3e}  (rhs {d['rhs_rms']:.3e})")
     log("ALL STAGES OK")
 
 
