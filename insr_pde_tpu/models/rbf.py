@@ -437,6 +437,13 @@ def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
         idx.shape[0], -1)
 
 
+def block_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
+    """Block-column ids for (site idx (Q,K), var e): (Q, K) — one id per
+    dense J-feature block, `site * E + e` (the J axis stays dense inside
+    the block; same flat layout as column_ids: flat = block * J + j)."""
+    return idx * cfg.n_vars + var
+
+
 def spatial_knn_idx(cfg: RBFConfig, p: RBFParams, x: jax.Array) -> jax.Array:
     """Spatial-only neighbor search over basis centers, (Q, K) — reference
     neighbor_search_spatial (base/networks.py:318-344)."""

@@ -17,8 +17,9 @@ Two solve paths, as the reference:
   * `train()` — Adam on the scale-normalized nonlinear residual MSE
     (reference train/train_step, vortex/model.py:230-267), fully jitted;
   * `matrix_solver()` — Picard-linearized least squares: freeze the
-    advecting velocity u-bar, assemble the residuals as a PaddedSparse
-    (ELL) operator on device, solve with matrix-free CGLS, and iterate.
+    advecting velocity u-bar, assemble the residuals as a BlockSparse
+    (block-ELL: dense per-site feature blocks) operator on device, solve
+    with matrix-free CGLS, and iterate.
     The reference assembles scipy COO on host and calls CPU
     `sparse.linalg.lsqr` (vortex/model.py:296-478); there is no sparse LU
     on TPU, and none is needed — the gather/segment-sum matvec IS the
@@ -40,12 +41,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.linalg import (PaddedSparse, cg_batch, cgls_sparse,
+from ..ops.linalg import (BlockSparse, cg_batch, cgls_sparse,
                           cgls_sparse_chunked, cgls_sparse_sharded)
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, basis_dt, basis_dx, basis_dxdt, basis_hess,
-                  basis_val, column_ids, field_dt, field_dxdt, field_grad,
+                  basis_val, block_ids, field_dt, field_dxdt, field_grad,
                   field_hess, field_value, init_rbf, point_basis,
                   structured_spacetime_idx)
 
@@ -100,6 +101,19 @@ class VortexConfig:
     # (cumulative CGLS refinement across Picard iterations); 0.0 = the
     # reference's cold start per lsqr pass (vortex/model.py:445-478)
     warm_start: float = 0.0
+    # stream formulation wall/inlet BC treatment:
+    #   "value"      — textbook stream-function Dirichlet data: psi = 0 on
+    #                  the bottom wall, psi = 2*internal_v on the top wall
+    #                  (the channel flux, pinned exactly), and the linear
+    #                  profile psi = internal_v*(y+1) along the inlet.
+    #                  Value rows are far better conditioned than the
+    #                  derivative rows below, and the true LS solution of
+    #                  the derivative form only meets the BC AT the
+    #                  collocation points (underdetermined system,
+    #                  oscillatory between points — see COMPARISON.md).
+    #   "derivative" — impose u = curl(psi) componentwise like the velocity
+    #                  formulation (free-slip u.n = 0, inlet u_x = v rows).
+    stream_bc: str = "value"
     # least-squares block weights (1.0 everywhere = reference parity, where
     # balance comes only from row counts x per-block max normalization)
     w_momentum: float = 1.0
@@ -163,10 +177,14 @@ def build_points(cfg: VortexConfig, key: jax.Array) -> SpaceTimePoints:
 
 def _pad_scale_block(vals, cols, rhs, nnz, weight=1.0):
     """Pad a residual block's rows to `nnz` nonzeros and max-|val| normalize
-    them (reference per-block scaling, vortex/model.py:403-410)."""
+    them (reference per-block scaling, vortex/model.py:403-410).
+
+    Block-ELL layout: vals (n, S, J) dense J-wide site-var blocks, cols
+    (n, S) block ids; `nnz` counts SLOTS. (ops/linalg.BlockSparse — the
+    scalar ELL's per-element gather made CGLS gather-bound on TPU.)"""
     pad = nnz - vals.shape[1]
     if pad > 0:
-        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
         cols = jnp.pad(cols, ((0, 0), (0, pad)))
     scale = jnp.maximum(jnp.max(jnp.abs(vals)), 1e-30) / weight
     return vals / scale, cols, rhs / scale
@@ -287,20 +305,23 @@ class VortexModel:
     # ---------------- linear least-squares path (reference matrix_solver /
     #                  sparse_matrix_recon, vortex/model.py:296-478) --------
     def assemble(self, ubar: jax.Array,
-                 pb=None) -> tuple[PaddedSparse, jax.Array]:
-        """Build the Picard-linearized system rows as a PaddedSparse op.
+                 pb=None) -> tuple[BlockSparse, jax.Array]:
+        """Build the Picard-linearized system rows as a BlockSparse op.
 
-        Row layout per block; each row's nonzeros are the K*J columns of the
-        variables it touches, padded to 2*K*J. Per-block rows and RHS are
-        max-|val| normalized, matching the reference's per-block scaling
-        (vortex/model.py:403-410).
+        Row layout per residual block; each row's nonzeros are dense
+        J-feature blocks for the K sites of each variable it touches,
+        padded to 2*K slots. Per-block rows and RHS are max-|val|
+        normalized, matching the reference's per-block scaling
+        (vortex/model.py:403-410). Block-ELL (not scalar ELL) so the
+        CGLS matvec gathers K site-blocks per row instead of K*J scalars —
+        XLA's per-index gather cost made the scalar form the TPU
+        bottleneck (COMPARISON.md).
         """
         cfg, pts = self.cfg, self.pts
         pb = self.pb if pb is None else pb
         rcfg = self.rbf_cfg
         Eu = cfg.n_velocity
-        KJ = self.k_eff * cfg.n_feat
-        nnz = 2 * KJ
+        nnz = 2 * self.k_eff         # slots
 
         val_bar = field_value(pb, ubar)
 
@@ -322,39 +343,36 @@ class VortexModel:
         for d in range(Eu):
             # var-d columns: rho * ((ubar . grad) phi + dphi/dt)
             conv = jnp.einsum("qkjd,qd->qkj", bdx_i[:, :, d, :, :], ub)
-            v_d = (cfg.rho * (conv + bdt_i[:, :, d, :])).reshape(-1, KJ)
-            c_d = column_ids(rcfg, pbi.idx, d)
+            v_d = cfg.rho * (conv + bdt_i[:, :, d, :])      # (Q, K, J)
             # pressure columns: d phi_p / d x_d
-            v_p = bdx_i[:, :, Eu, :, d].reshape(-1, KJ)
-            c_p = column_ids(rcfg, pbi.idx, Eu)
+            v_p = bdx_i[:, :, Eu, :, d]
             vals = jnp.concatenate([v_d, v_p], axis=1)
-            cols = jnp.concatenate([c_d, c_p], axis=1)
+            cols = jnp.concatenate([block_ids(rcfg, pbi.idx, d),
+                                    block_ids(rcfg, pbi.idx, Eu)], axis=1)
             rhs = jnp.full((vals.shape[0],), cfg.gravity * cfg.rho)
             add_block(vals, cols, rhs, weight=cfg.w_momentum)
 
         # -- continuity rows: sum_d d phi_d / d x_d
-        v0 = bdx_i[:, :, 0, :, 0].reshape(-1, KJ)
-        v1 = bdx_i[:, :, 1, :, 1].reshape(-1, KJ)
-        add_block(jnp.concatenate([v0, v1], axis=1),
-                  jnp.concatenate([column_ids(rcfg, pbi.idx, 0),
-                                   column_ids(rcfg, pbi.idx, 1)], axis=1),
-                  jnp.zeros(v0.shape[0]), weight=cfg.w_continuity)
+        add_block(jnp.concatenate([bdx_i[:, :, 0, :, 0],
+                                   bdx_i[:, :, 1, :, 1]], axis=1),
+                  jnp.concatenate([block_ids(rcfg, pbi.idx, 0),
+                                   block_ids(rcfg, pbi.idx, 1)], axis=1),
+                  jnp.zeros(bdx_i.shape[0]), weight=cfg.w_continuity)
 
         # -- free-slip rows: u . n
         pbn = gather(pts.neu)
         bval_n = basis_val(pbn)
         vals = jnp.concatenate(
-            [(bval_n[:, :, e, :]
-              * pts.norm[:, e][:, None, None]).reshape(-1, KJ)
+            [bval_n[:, :, e, :] * pts.norm[:, e][:, None, None]
              for e in range(Eu)], axis=1)
         cols = jnp.concatenate(
-            [column_ids(rcfg, pbn.idx, e) for e in range(Eu)], axis=1)
+            [block_ids(rcfg, pbn.idx, e) for e in range(Eu)], axis=1)
         add_block(vals, cols, jnp.zeros(vals.shape[0]), weight=cfg.w_bc)
 
         # -- outlet pressure rows: p = 0
         pbd = gather(pts.dirp)
-        add_block(basis_val(pbd)[:, :, Eu, :].reshape(-1, KJ),
-                  column_ids(rcfg, pbd.idx, Eu),
+        add_block(basis_val(pbd)[:, :, Eu, :],
+                  block_ids(rcfg, pbd.idx, Eu),
                   jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
 
         # -- inlet rows: u_e = (v_in, 0)
@@ -362,8 +380,8 @@ class VortexModel:
         bval_l = basis_val(pbl)
         for e in range(Eu):
             add_block(
-                bval_l[:, :, e, :].reshape(-1, KJ),
-                column_ids(rcfg, pbl.idx, e),
+                bval_l[:, :, e, :],
+                block_ids(rcfg, pbl.idx, e),
                 jnp.full((len(pts.left),),
                          cfg.internal_v if e == 0 else 0.0),
                 weight=cfg.w_bc)
@@ -373,13 +391,13 @@ class VortexModel:
         bval_0 = basis_val(pb0)
         for e in range(cfg.n_variables):
             add_block(
-                bval_0[:, :, e, :].reshape(-1, KJ),
-                column_ids(rcfg, pb0.idx, e),
+                bval_0[:, :, e, :],
+                block_ids(rcfg, pb0.idx, e),
                 jnp.zeros(len(pts.init)), weight=cfg.w_init)
 
-        A = PaddedSparse(vals=jnp.concatenate(rows_vals, axis=0),
-                         cols=jnp.concatenate(rows_cols, axis=0),
-                         n_cols=rcfg.n_coeffs)
+        A = BlockSparse(vals=jnp.concatenate(rows_vals, axis=0),
+                        cols=jnp.concatenate(rows_cols, axis=0),
+                        n_blocks=rcfg.n_sites * rcfg.n_vars)
         return A, jnp.concatenate(rhs_list, axis=0)
 
     def matrix_solver(self, solver: str = "cgls"):
@@ -397,7 +415,7 @@ class VortexModel:
         reference scale, while the split programs run (and the split also
         compiles far faster there)."""
         cfg = self.cfg
-        n_cols = self.rbf_cfg.n_coeffs
+        n_blocks = self.rbf_cfg.n_sites * self.rbf_cfg.n_vars
         precond = {"auto": cfg.cgls_damp == 0.0,
                    "on": True, "off": False}[cfg.cgls_precondition]
 
@@ -410,7 +428,7 @@ class VortexModel:
 
             @jax.jit
             def solve_jit(vals, cols, b, x0):
-                A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
+                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
                 if solver == "cg":
                     normal = (lambda X:
                               A.rmv(A.mv(X[0, :, 0]))[None, :, None])
@@ -429,7 +447,7 @@ class VortexModel:
 
             @jax.jit
             def residual_jit(vals, cols, b, x):
-                A = PaddedSparse(vals=vals, cols=cols, n_cols=n_cols)
+                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
                 return jnp.linalg.norm(A.mv(x) - b)
 
             self._solver_jits[solver] = (assemble_jit, solve_jit,
@@ -446,9 +464,10 @@ class VortexModel:
             if cfg.host_sync:
                 # break device-buffer chaining between the assemble and
                 # solve programs (tunneled-backend crash isolation)
-                A = PaddedSparse(
+                A = BlockSparse(
                     vals=jnp.asarray(np.asarray(A.vals)),
-                    cols=jnp.asarray(np.asarray(A.cols)), n_cols=n_cols)
+                    cols=jnp.asarray(np.asarray(A.cols)),
+                    n_blocks=n_blocks)
                 b = jnp.asarray(np.asarray(b))
             if cfg.cgls_chunk > 0 and solver == "cgls" and self.mesh is None:
                 x, info = cgls_sparse_chunked(
@@ -460,7 +479,6 @@ class VortexModel:
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":
                 # rows sharded over the mesh, psum over ICI
-                A = PaddedSparse(vals=A.vals, cols=A.cols, n_cols=n_cols)
                 x, info = cgls_sparse_sharded(
                     self.mesh, self.mesh_axis, A, b,
                     u_flat * cfg.warm_start,
@@ -595,6 +613,13 @@ class StreamVortexModel(VortexModel):
         per_slice = cfg.collocation_pts_num + cfg.boundary_num
         self.gauge_ids = (np.arange(cfg.time_num) * per_slice
                           + cfg.collocation_pts_num)
+        # value-BC mode: inlet rows only on t>0 slices. The impulsive-start
+        # scene is inconsistent AT t=0 (u=0 init vs u_x=v inlet on the same
+        # wall); for derivative rows the conflict is local, but psi VALUE
+        # data propagates it along the whole wall (measured: converged-LSQR
+        # block residuals O(1) with the t=0 value rows included). The t=0
+        # slice belongs to the init block.
+        self.left_t = self.pts.left[self.pts.left >= per_slice]
 
     def _point_basis_idx(self, params, x, t, idx, second=False):
         pous = (dict(time_pou=self.cfg.pou, space_pou=self.cfg.pou)
@@ -607,13 +632,12 @@ class StreamVortexModel(VortexModel):
 
     # -------- linear least-squares assembly --------
     def assemble(self, ubar: jax.Array, pb=None,
-                 pb2=None) -> tuple[PaddedSparse, jax.Array]:
+                 pb2=None) -> tuple[BlockSparse, jax.Array]:
         cfg, pts = self.cfg, self.pts
         pb = self.pb if pb is None else pb
         pb2 = self.pb2 if pb2 is None else pb2
         rcfg = self.rbf_cfg
-        KJ = self.k_eff * cfg.n_feat
-        nnz = 2 * KJ
+        nnz = 2 * self.k_eff         # slots (BlockSparse: dense J blocks)
 
         rows_vals, rows_cols, rhs_list = [], [], []
 
@@ -640,11 +664,11 @@ class StreamVortexModel(VortexModel):
                            ROT, basis_dxdt(pb2)[:, :, PSI])   # du_d/dt
         conv = jnp.einsum("qkjdb,qb->qkjd", Gcols, ub)
         bdx2 = basis_dx(pb2)
-        c_psi = column_ids(rcfg, pb2.idx, PSI)
-        c_p = column_ids(rcfg, pb2.idx, PVAR)
+        c_psi = block_ids(rcfg, pb2.idx, PSI)
+        c_p = block_ids(rcfg, pb2.idx, PVAR)
         for d in range(2):
-            v_psi = (cfg.rho * (conv[..., d] + Tcols[..., d])).reshape(-1, KJ)
-            v_p = bdx2[:, :, PVAR, :, d].reshape(-1, KJ)
+            v_psi = cfg.rho * (conv[..., d] + Tcols[..., d])   # (Q, K, J)
+            v_p = bdx2[:, :, PVAR, :, d]
             add_block(jnp.concatenate([v_psi, v_p], axis=1),
                       jnp.concatenate([c_psi, c_p], axis=1),
                       jnp.full((v_psi.shape[0],), cfg.gravity * cfg.rho),
@@ -652,63 +676,86 @@ class StreamVortexModel(VortexModel):
 
         # (no continuity rows: div curl(psi) == 0 identically)
 
-        # -- free-slip walls: u . n = 0
+        # -- free-slip walls
         pbn = gather(pts.neu)
-        vals = jnp.einsum("qkjd,qd->qkj",
-                          vel_cols(pbn), pts.norm).reshape(-1, KJ)
-        add_block(vals, column_ids(rcfg, pbn.idx, PSI),
-                  jnp.zeros(vals.shape[0]), weight=cfg.w_bc)
+        if cfg.stream_bc == "value":
+            # psi constant along each wall, with the channel-flux values
+            # pinned exactly: 0 on the bottom (gauge), 2*v on the top.
+            # norm[:, 1] > 0 identifies bottom-wall points (build_points).
+            rhs_n = jnp.where(pts.norm[:, 1] > 0, 0.0,
+                              2.0 * cfg.internal_v)
+            add_block(basis_val(pbn)[:, :, PSI, :],
+                      block_ids(rcfg, pbn.idx, PSI), rhs_n,
+                      weight=cfg.w_bc)
+        else:
+            vals = jnp.einsum("qkjd,qd->qkj", vel_cols(pbn), pts.norm)
+            add_block(vals, block_ids(rcfg, pbn.idx, PSI),
+                      jnp.zeros(vals.shape[0]), weight=cfg.w_bc)
 
         # -- outlet pressure rows: p = 0
         pbd = gather(pts.dirp)
-        add_block(basis_val(pbd)[:, :, PVAR, :].reshape(-1, KJ),
-                  column_ids(rcfg, pbd.idx, PVAR),
+        add_block(basis_val(pbd)[:, :, PVAR, :],
+                  block_ids(rcfg, pbd.idx, PVAR),
                   jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
 
-        # -- inlet rows: u = (v_in, 0)
-        pbl = gather(pts.left)
+        # -- inlet rows (value mode: t>0 slices only — the t=0 slice
+        #    belongs to the init block, see __init__)
+        left = self.left_t if cfg.stream_bc == "value" else pts.left
+        pbl = gather(left)
         vl = vel_cols(pbl)
-        c_l = column_ids(rcfg, pbl.idx, PSI)
-        for d in range(2):
-            add_block(vl[..., d].reshape(-1, KJ), c_l,
-                      jnp.full((len(pts.left),),
-                               cfg.internal_v if d == 0 else 0.0),
+        c_l = block_ids(rcfg, pbl.idx, PSI)
+        if cfg.stream_bc == "value":
+            # u_x = psi_y = v integrates to the explicit linear profile
+            # psi = v*(y+1) along the left wall (0 at the bottom corner,
+            # 2v at the top corner — matching the wall values above)
+            rhs_l = cfg.internal_v * (pts.x[left][:, 1] + 1.0)
+            add_block(basis_val(pbl)[:, :, PSI, :],
+                      c_l, rhs_l, weight=cfg.w_bc)
+        else:
+            add_block(vl[..., 0], c_l,
+                      jnp.full((len(left),), cfg.internal_v),
                       weight=cfg.w_bc)
+        # tangential inlet component u_y = -psi_x = 0 (derivative rows in
+        # both modes)
+        add_block(vl[..., 1], c_l,
+                  jnp.zeros(len(left)), weight=cfg.w_bc)
 
         # -- initial rows: u = 0, p = 0, psi = 0 at t = 0
         pb0 = gather(pts.init)
         v0 = vel_cols(pb0)
-        c_0 = column_ids(rcfg, pb0.idx, PSI)
+        c_0 = block_ids(rcfg, pb0.idx, PSI)
         for d in range(2):
-            add_block(v0[..., d].reshape(-1, KJ), c_0,
+            add_block(v0[..., d], c_0,
                       jnp.zeros(len(pts.init)), weight=cfg.w_init)
         bval_0 = basis_val(pb0)
-        add_block(bval_0[:, :, PVAR, :].reshape(-1, KJ),
-                  column_ids(rcfg, pb0.idx, PVAR),
+        add_block(bval_0[:, :, PVAR, :],
+                  block_ids(rcfg, pb0.idx, PVAR),
                   jnp.zeros(len(pts.init)), weight=cfg.w_init)
-        add_block(bval_0[:, :, PSI, :].reshape(-1, KJ), c_0,
+        add_block(bval_0[:, :, PSI, :], c_0,
                   jnp.zeros(len(pts.init)), weight=cfg.w_init)
 
         # -- gauge rows: psi = 0 at one wall point per slice
         pbg = gather(self.gauge_ids)
-        add_block(basis_val(pbg)[:, :, PSI, :].reshape(-1, KJ),
-                  column_ids(rcfg, pbg.idx, PSI),
+        add_block(basis_val(pbg)[:, :, PSI, :],
+                  block_ids(rcfg, pbg.idx, PSI),
                   jnp.zeros(len(self.gauge_ids)), weight=cfg.w_init)
 
-        A = PaddedSparse(vals=jnp.concatenate(rows_vals, axis=0),
-                         cols=jnp.concatenate(rows_cols, axis=0),
-                         n_cols=rcfg.n_coeffs)
+        A = BlockSparse(vals=jnp.concatenate(rows_vals, axis=0),
+                        cols=jnp.concatenate(rows_cols, axis=0),
+                        n_blocks=rcfg.n_sites * rcfg.n_vars)
         return A, jnp.concatenate(rhs_list, axis=0)
 
     # -------- nonlinear (Adam) residual --------
     def block_names_counts(self):
         pts, cfg = self.pts, self.cfg
+        n_left = (len(self.left_t) if cfg.stream_bc == "value"
+                  else len(pts.left))
         return ([("momentum_u", len(pts.inner)),
                  ("momentum_v", len(pts.inner)),
                  ("free_slip", len(pts.neu)),
                  ("outlet_p", len(pts.dirp)),
-                 ("inlet_u", len(pts.left)),
-                 ("inlet_v", len(pts.left)),
+                 ("inlet_u", n_left),
+                 ("inlet_v", n_left),
                  ("init_u", len(pts.init)),
                  ("init_v", len(pts.init)),
                  ("init_p", len(pts.init)),
@@ -732,16 +779,29 @@ class StreamVortexModel(VortexModel):
         lhs1 = cfg.rho * adv + cfg.rho * dveldt + grad2[:, PVAR]
         rhs1 = jnp.full_like(lhs1, cfg.gravity * cfg.rho)
 
-        lhs3 = jnp.einsum("qd,qd->q", vel[pts.neu], pts.norm)
+        if cfg.stream_bc == "value":
+            # psi Dirichlet data (see assemble): walls carry the channel
+            # flux, the inlet its linear profile (t>0 slices only)
+            lhs3 = val[pts.neu, PSI]
+            rhs3 = jnp.where(pts.norm[:, 1] > 0, 0.0,
+                             2.0 * cfg.internal_v)
+            left = self.left_t
+            lhs5 = jnp.stack([val[left, PSI], vel[left, 1]], axis=1)
+            rhs5 = jnp.stack(
+                [cfg.internal_v * (pts.x[left][:, 1] + 1.0),
+                 jnp.zeros(len(left))], axis=1)
+        else:
+            lhs3 = jnp.einsum("qd,qd->q", vel[pts.neu], pts.norm)
+            rhs3 = 0.0
+            lhs5 = vel[pts.left]
+            rhs5 = jnp.stack(
+                [jnp.full(lhs5.shape[0], cfg.internal_v),
+                 jnp.zeros(lhs5.shape[0])], axis=1)
         lhs4 = val[pts.dirp, PVAR]
-        lhs5 = vel[pts.left]
-        rhs5 = jnp.stack(
-            [jnp.full(lhs5.shape[0], cfg.internal_v),
-             jnp.zeros(lhs5.shape[0])], axis=1)
         lhs6 = jnp.concatenate([vel[pts.init], val[pts.init]], axis=-1)
         lhs7 = val[self.gauge_ids, PSI]
 
-        return (_scaled_mse(lhs1, rhs1) + _scaled_mse(lhs3, 0.0)
+        return (_scaled_mse(lhs1, rhs1) + _scaled_mse(lhs3, rhs3)
                 + _scaled_mse(lhs4, 0.0) + _scaled_mse(lhs5, rhs5)
                 + _scaled_mse(lhs6, 0.0) + _scaled_mse(lhs7, 0.0))
 

@@ -128,6 +128,14 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
     s0 = At_mv(r0) - d2 * x0
     gamma0 = jnp.sum(s0 * s0)
     stop2 = (tol ** 2) * gamma0
+    phi0 = rows_reduce(r0 * r0) + d2 * jnp.sum(x0 * x0)
+
+    # f32 CG on the normal equations LOSES conjugacy once cond(AᵀA)
+    # approaches 1/eps and can then diverge outright (measured on the
+    # stream-vortex assembly: |Ax-b| fine at 2k iterations, 1e3x ABOVE |b|
+    # by 4k). Track the best iterate of the true damped-LS functional
+    # phi = |Ax-b|^2 + damp^2 |x|^2 and return it, and stop once phi has
+    # grown 1e4x above the best seen — iterating further is noise.
 
     class _State(NamedTuple):
         x: jax.Array
@@ -135,9 +143,13 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
         p: jax.Array
         gamma: jax.Array
         k: jax.Array
+        phi: jax.Array
+        best_x: jax.Array
+        best_phi: jax.Array
 
     def cond(st: _State):
-        return (st.gamma > stop2) & (st.k < maxiter)
+        return ((st.gamma > stop2) & (st.k < maxiter)
+                & (st.phi < 1e4 * st.best_phi))
 
     def step(st: _State):
         q = A_mv(st.p)
@@ -149,11 +161,22 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
         gamma_new = jnp.sum(s * s)
         beta = gamma_new / jnp.where(st.gamma == 0, 1e-30, st.gamma)
         p = s + beta * st.p
-        return _State(x, r, p, gamma_new, st.k + 1)
+        phi = rows_reduce(r * r) + d2 * jnp.sum(x * x)
+        better = phi < st.best_phi
+        best_x = jnp.where(better, x, st.best_x)
+        best_phi = jnp.where(better, phi, st.best_phi)
+        return _State(x, r, p, gamma_new, st.k + 1, phi, best_x, best_phi)
 
     st = jax.lax.while_loop(
-        cond, step, _State(x0, r0, s0, gamma0, jnp.asarray(0, jnp.int32)))
-    return st.x, {"niter": st.k, "resnorm": jnp.sqrt(st.gamma)}
+        cond, step, _State(x0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                           phi0, x0, phi0))
+    # Healthy runs return the FINAL iterate: near convergence phi sits at
+    # the f32 noise floor and cannot discriminate the still-improving
+    # iterates (argmin-phi would freeze x several digits early). The best
+    # iterate is only the fallback when the run actually diverged.
+    x_out = jnp.where(st.phi <= 2.0 * st.best_phi, st.x, st.best_x)
+    return x_out, {"niter": st.k, "resnorm": jnp.sqrt(st.gamma),
+                   "best_phi": st.best_phi}
 
 
 # --------------------------------------------------------------- sparse op
@@ -188,6 +211,52 @@ class PaddedSparse(NamedTuple):
             num_segments=self.n_cols))
 
 
+class BlockSparse(NamedTuple):
+    """Block-ELL sparse operator: each row holds `S` dense J-wide
+    coefficient blocks addressed by a block-column id (site-var pairs in
+    the RBF assembly, where every site contributes J feature columns).
+
+    vals: (R, S, J) f32; cols: (R, S) int32 block ids (padding: val=0,
+    col=0); n_blocks: static int (flat column count = n_blocks * J).
+
+    Same operator algebra as PaddedSparse, ~J x fewer gather/scatter
+    indices per matvec: measured on the TPU, XLA's per-element
+    gather/segment-sum lowering made scalar-ELL CGLS ~100 ms/iteration at
+    the 400x10 vortex scale (no faster than 1-core CPU); grouping the J
+    feature columns into dense blocks moves that work onto contiguous
+    lanes. The reference assembles scipy COO on host and solves on CPU
+    (vortex/model.py:296-478) — no counterpart.
+    """
+    vals: jax.Array
+    cols: jax.Array
+    n_blocks: int
+
+    @property
+    def bdim(self) -> int:
+        return self.vals.shape[-1]
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_blocks * self.vals.shape[-1]
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        X = x.reshape(self.n_blocks, self.bdim)
+        g = X[self.cols]                       # (R, S, J)
+        return jnp.einsum("rsj,rsj->r", self.vals, g)
+
+    def rmv(self, r: jax.Array) -> jax.Array:
+        contrib = (self.vals * r[:, None, None]).reshape(-1, self.bdim)
+        out = jax.ops.segment_sum(contrib, self.cols.reshape(-1),
+                                  num_segments=self.n_blocks)
+        return out.reshape(-1)
+
+    def col_norms(self) -> jax.Array:
+        sq = jax.ops.segment_sum((self.vals ** 2).reshape(-1, self.bdim),
+                                 self.cols.reshape(-1),
+                                 num_segments=self.n_blocks)
+        return jnp.sqrt(sq.reshape(-1))
+
+
 def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                 maxiter: int = 500, tol: float = 1e-8,
                 precondition: bool = True, damp: float = 0.0):
@@ -199,7 +268,12 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     D = 0, i.e. their coefficients are pinned to zero)."""
     if precondition:
         d = A.col_norms()
-        d = jnp.where(d > 1e-12, 1.0 / d, 0.0)
+        # RELATIVE degenerate-column cutoff: an absolute one (1e-12) lets a
+        # column with norm ~1e-10 get amplified ~1e10x, which destroys f32
+        # CGLS on the scaled system (observed: residual diverging 1000x
+        # above |b| on the stream-vortex value-BC assembly). Columns below
+        # 1e-6 of the largest are dropped (coefficient pinned to zero).
+        d = jnp.where(d > 1e-6 * jnp.max(d), 1.0 / d, 0.0)
         x, info = cgls(lambda y: A.mv(d * y), lambda r: d * A.rmv(r),
                        b, x0 / jnp.where(d == 0, 1.0, d),
                        maxiter=maxiter, tol=tol, damp=damp)
@@ -225,33 +299,41 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     bit-identical to `cgls_sparse` on a healthy backend (pinned by
     tests/test_linalg.py).
     """
-    n_cols = A.n_cols
     d2 = damp * damp
+    # rebuild the operator inside jit from its ARRAY leaves (arrays as jit
+    # arguments, never closure constants — tunnel-backend rule, CLAUDE.md);
+    # _replace only copies the static field, works for PaddedSparse and
+    # BlockSparse alike
+    mk = lambda vals, cols: A._replace(vals=vals, cols=cols)
 
     @jax.jit
     def init(vals, cols, b, x0):
-        Aop = PaddedSparse(vals, cols, n_cols)
+        Aop = mk(vals, cols)
         if precondition:
             dcol = Aop.col_norms()
-            dcol = jnp.where(dcol > 1e-12, 1.0 / dcol, 0.0)
+            # relative cutoff — see cgls_sparse
+            dcol = jnp.where(dcol > 1e-6 * jnp.max(dcol), 1.0 / dcol, 0.0)
         else:
-            dcol = jnp.ones((n_cols,), vals.dtype)
+            dcol = jnp.ones((Aop.n_cols,), vals.dtype)
         y0 = x0 / jnp.where(dcol == 0, 1.0, dcol)
         r0 = b - Aop.mv(dcol * y0)
         s0 = dcol * Aop.rmv(r0) - d2 * y0
         gamma0 = jnp.sum(s0 * s0)
-        return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32)), dcol
+        phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
+        return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                phi0, y0, phi0), dcol
 
     @jax.jit
     def run_chunk(vals, cols, state, dcol, stop2):
-        Aop = PaddedSparse(vals, cols, n_cols)
+        Aop = mk(vals, cols)
 
         def cond(st):
-            y, r, p, gamma, k, j = st
-            return (gamma > stop2) & (j < chunk) & (k < maxiter)
+            y, r, p, gamma, k, phi, by, bphi, j = st
+            return ((gamma > stop2) & (j < chunk) & (k < maxiter)
+                    & (phi < 1e4 * bphi))
 
         def step(st):
-            y, r, p, gamma, k, j = st
+            y, r, p, gamma, k, phi, by, bphi, j = st
             q = Aop.mv(dcol * p)
             denom = jnp.sum(q * q) + d2 * jnp.sum(p * p)
             alpha = gamma / jnp.where(denom == 0, 1e-30, denom)
@@ -261,12 +343,17 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
             gamma_new = jnp.sum(s * s)
             beta = gamma_new / jnp.where(gamma == 0, 1e-30, gamma)
             p = s + beta * p
-            return (y, r, p, gamma_new, k + 1, j + 1)
+            phi = jnp.sum(r * r) + d2 * jnp.sum(y * y)
+            better = phi < bphi
+            by = jnp.where(better, y, by)
+            bphi = jnp.where(better, phi, bphi)
+            return (y, r, p, gamma_new, k + 1, phi, by, bphi, j + 1)
 
-        y, r, p, gamma, k = state
-        y, r, p, gamma, k, _ = jax.lax.while_loop(
-            cond, step, (y, r, p, gamma, k, jnp.asarray(0, jnp.int32)))
-        return (y, r, p, gamma, k)
+        y, r, p, gamma, k, phi, by, bphi = state
+        y, r, p, gamma, k, phi, by, bphi, _ = jax.lax.while_loop(
+            cond, step, (y, r, p, gamma, k, phi, by, bphi,
+                         jnp.asarray(0, jnp.int32)))
+        return (y, r, p, gamma, k, phi, by, bphi)
 
     state, dcol = init(A.vals, A.cols, b, x0)
     stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
@@ -274,11 +361,15 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     while True:
         state = run_chunk(A.vals, A.cols, state, dcol, stop2)
         new_it, gamma = int(state[4]), float(state[3])
-        if new_it >= maxiter or gamma <= float(stop2) or new_it == it:
+        diverged = float(state[5]) >= 1e4 * float(state[7])
+        if (new_it >= maxiter or gamma <= float(stop2) or new_it == it
+                or diverged):
             break
         it = new_it
-    y, _, _, gamma, k = state
-    return dcol * y, {"niter": k, "resnorm": jnp.sqrt(gamma)}
+    y, _, _, gamma, k, phi, by, bphi = state
+    # final iterate unless diverged — see cgls
+    y_out = jnp.where(phi <= 2.0 * bphi, y, by)
+    return dcol * y_out, {"niter": k, "resnorm": jnp.sqrt(gamma)}
 
 
 def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
@@ -301,28 +392,24 @@ def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
     n_dev = mesh.shape[axis]
     R = A.vals.shape[0]
     pad = (-R) % n_dev
-    vals = jnp.pad(A.vals, ((0, pad), (0, 0)))
-    cols = jnp.pad(A.cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(A.vals, ((0, pad),) + ((0, 0),) * (A.vals.ndim - 1))
+    cols = jnp.pad(A.cols, ((0, pad),) + ((0, 0),) * (A.cols.ndim - 1))
     b_p = jnp.pad(b, (0, pad))
-    n_cols = A.n_cols
+    mk = lambda v, c: A._replace(vals=v, cols=c)  # PaddedSparse/BlockSparse
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P()),
              out_specs=(P(), P(), P()))
     def run(vals, cols, b, x0):
-        def A_mv(x):
-            return jnp.sum(vals * x[cols], axis=-1)
+        Aop = mk(vals, cols)
 
         def At_mv(r):
-            contrib = (vals * r[:, None]).reshape(-1)
-            local = jax.ops.segment_sum(contrib, cols.reshape(-1),
-                                        num_segments=n_cols)
-            return jax.lax.psum(local, axis)
+            return jax.lax.psum(Aop.rmv(r), axis)
 
         def rows_reduce(q):
             return jax.lax.psum(jnp.sum(q), axis)
 
-        x, info = cgls(A_mv, At_mv, b, x0, maxiter=maxiter, tol=tol,
+        x, info = cgls(Aop.mv, At_mv, b, x0, maxiter=maxiter, tol=tol,
                        damp=damp, rows_reduce=rows_reduce)
         return x, info["resnorm"], info["niter"]
 

@@ -57,6 +57,11 @@ def main(argv=None):
                          "for any least-squares solver (its own notebook "
                          "concedes the scene fails); rho~1 converges")
     ap.add_argument("--internal_v", type=float, default=8.0)
+    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+                    default="value",
+                    help="stream formulation wall/inlet treatment: explicit "
+                         "psi Dirichlet data (default; see VortexConfig) or "
+                         "u = curl(psi) derivative rows")
     args = ap.parse_args(argv)
 
     if args.formulation == "stream":
@@ -76,7 +81,7 @@ def main(argv=None):
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
         cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
-        log_dir=args.log_dir)
+        stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
     model = cls(cfg)
 

@@ -6,7 +6,8 @@ import numpy as np
 
 from insr_pde_tpu.ops.knn import knn, knn_gather
 from insr_pde_tpu.ops.linalg import (PaddedSparse, cg_batch, cg_solve, cgls,
-                                     cgls_sparse, cgls_sparse_sharded)
+                                     cgls_sparse, cgls_sparse_chunked,
+                                     cgls_sparse_sharded)
 
 
 def test_knn_matches_bruteforce_numpy():
@@ -187,3 +188,68 @@ def test_sharded_cgls_work_scales_with_devices():
     # strong scaling: 8 devices must each do well under half the 1-device
     # work (ideal 1/8; the replicated x-space reduction keeps it above that)
     assert flops[8] < 0.25 * flops[1], flops
+
+
+def test_block_sparse_matches_padded():
+    """BlockSparse (dense J-blocks per slot) is the same operator as the
+    scalar ELL with the flat layout col = block*J + j — mv, rmv, col_norms
+    and the CGLS solution must all agree."""
+    from insr_pde_tpu.ops.linalg import BlockSparse
+
+    R, S, J, NB = 60, 5, 8, 24
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    bvals = jax.random.normal(k[0], (R, S, J))
+    # distinct block ids per row
+    bcols = jnp.argsort(jax.random.uniform(k[1], (R, NB)), axis=1)[:, :S]
+    bcols = bcols.astype(jnp.int32)
+    b = jax.random.normal(k[2], (R,))
+    x = jax.random.normal(k[3], (NB * J,))
+
+    flat_cols = (bcols[:, :, None] * J
+                 + jnp.arange(J)[None, None, :]).reshape(R, S * J)
+    A_blk = BlockSparse(vals=bvals, cols=bcols, n_blocks=NB)
+    A_pad = PaddedSparse(vals=bvals.reshape(R, S * J), cols=flat_cols,
+                         n_cols=NB * J)
+
+    np.testing.assert_allclose(np.asarray(A_blk.mv(x)),
+                               np.asarray(A_pad.mv(x)), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A_blk.rmv(b)),
+                               np.asarray(A_pad.rmv(b)), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A_blk.col_norms()),
+                               np.asarray(A_pad.col_norms()), rtol=2e-5,
+                               atol=1e-5)
+
+    for kw in (dict(precondition=True),
+               dict(precondition=False, damp=1e-2)):
+        xb, ib = cgls_sparse(A_blk, b, jnp.zeros(NB * J), maxiter=200,
+                             tol=1e-10, **kw)
+        xp, ip = cgls_sparse(A_pad, b, jnp.zeros(NB * J), maxiter=200,
+                             tol=1e-10, **kw)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xp),
+                                   rtol=1e-4, atol=1e-5)
+        xc, _ = cgls_sparse_chunked(A_blk, b, jnp.zeros(NB * J), chunk=17,
+                                    maxiter=200, tol=1e-10, **kw)
+        np.testing.assert_allclose(np.asarray(xc), np.asarray(xb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_block_sparse_sharded_matches_single_device():
+    from jax.sharding import Mesh
+
+    from insr_pde_tpu.ops.linalg import BlockSparse, cgls_sparse_sharded
+
+    R, S, J, NB = 64, 4, 8, 16
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    bvals = jax.random.normal(k[0], (R, S, J))
+    bcols = jax.random.randint(k[1], (R, S), 0, NB).astype(jnp.int32)
+    b = jax.random.normal(k[2], (R,))
+    A = BlockSparse(vals=bvals, cols=bcols, n_blocks=NB)
+
+    x_ref, _ = cgls_sparse(A, b, jnp.zeros(NB * J), maxiter=60, tol=0.0,
+                           precondition=False, damp=1e-3)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    x_sh, _ = cgls_sparse_sharded(mesh, "data", A, b, jnp.zeros(NB * J),
+                                  maxiter=60, tol=0.0, damp=1e-3)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)

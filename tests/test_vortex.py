@@ -399,8 +399,39 @@ def test_block_residual_layout_matches_assembly(tiny_stream, tiny_vortex):
         assert sum(n for _, n in counts) == b.shape[0], m.__class__.__name__
         blocks = m.block_residuals()
         assert set(blocks) == {name for name, _ in counts}
-        # inlet_u rhs is the nonzero block (u = internal_v) — checks the
-        # offsets actually line up with the right rows
+        # inlet_u rhs is nonzero (u = v, or the psi profile in value-BC
+        # mode) — checks the offsets line up with the right rows
         assert blocks["inlet_u"]["rhs_rms"] > 0
-        for name in ("free_slip", "outlet_p"):
-            assert blocks[name]["rhs_rms"] == 0.0
+        assert blocks["outlet_p"]["rhs_rms"] == 0.0
+        # stream value-BC mode carries the channel flux on the top wall;
+        # every other configuration has homogeneous free-slip rows
+        if getattr(m.cfg, "stream_bc", None) == "value" and hasattr(
+                m, "gauge_ids"):
+            assert blocks["free_slip"]["rhs_rms"] > 0
+        else:
+            assert blocks["free_slip"]["rhs_rms"] == 0.0
+
+
+def test_stream_value_bc_solver_stays_bounded():
+    """End-to-end pin of the CGLS divergence guard on the hardest small
+    system we have: the psi-Dirichlet (value-BC) stream assembly with
+    damping + Jacobi preconditioning. Before the best-iterate guard in
+    ops/linalg.cgls, this configuration diverged outright in f32
+    (|Ax-b| ~ 3.4e4 from |b| ~ 3e2 at 4000 iterations — conjugacy loss on
+    the ill-conditioned normal equations); the guard must keep the
+    returned iterate at least as good as the starting point."""
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+    cfg = VortexConfig(
+        collocation_pts_num=128, boundary_num=64, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=4000, picard_iters=1,
+        pou="smooth", cgls_damp=0.01, cgls_precondition="on",
+        w_bc=5.0, vis_resolution=16, seed=3, stream_bc="value")
+    m = StreamVortexModel(cfg, log=False)
+    _, b = m.assemble(m.params.u)
+    res = m.matrix_solver()
+    assert np.isfinite(res)
+    assert res <= float(jnp.linalg.norm(b)) * 1.01, res
+    vals, _ = m.sample_field(32)
+    g = np.asarray(vals).reshape(vals.shape[0], 32, 32, -1)
+    assert float(np.max(np.abs(g[..., :2]))) < 100.0

@@ -215,6 +215,68 @@ def probe_vgl():
     }), flush=True)
 
 
+def probe_spmv():
+    """ELL spmv (PaddedSparse.mv/rmv) at the reference vortex scale —
+    the per-iteration cost of CGLS, measured to be the TPU bottleneck
+    (~100 ms/CGLS iteration at 400x10 scale, i.e. no faster than 1-core
+    CPU: XLA's gather/segment-sum lowering. HBM floor for the operands is
+    ~0.3 ms/matvec). Also times candidate alternatives."""
+    import jax
+    import jax.numpy as jnp
+
+    from insr_pde_tpu.ops.linalg import PaddedSparse
+
+    R, NNZ, NCOLS = 35600, 768, 192000
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    vals = jax.random.normal(k1, (R, NNZ))
+    cols = jax.random.randint(k2, (R, NNZ), 0, NCOLS)
+    x = jax.random.normal(k3, (NCOLS,))
+    r = jax.random.normal(k4, (R,))
+    A = PaddedSparse(vals=vals, cols=cols, n_cols=NCOLS)
+
+    mv = jax.jit(lambda x: A.mv(x))
+    rmv = jax.jit(lambda r: A.rmv(r))
+    t_mv = _time_steps(lambda: jax.block_until_ready(mv(x)), n=10)
+    t_rmv = _time_steps(lambda: jax.block_until_ready(rmv(r)), n=10)
+
+    # gather-only (isolate the x[cols] share of mv)
+    gat = jax.jit(lambda x: jnp.sum(x[cols]))
+    t_gather = _time_steps(lambda: jax.block_until_ready(gat(x)), n=10)
+
+    # one CGLS iteration equivalent: mv + rmv + axpys
+    bytes_mv = (R * NNZ * 8 + NCOLS * 4 + R * 4)  # vals+cols + x + out
+    print(json.dumps({
+        "probe": "spmv", "layout": "scalar_ell", "rows": R,
+        "nnz_per_row": NNZ, "n_cols": NCOLS,
+        "mv_ms": round(t_mv * 1e3, 3), "rmv_ms": round(t_rmv * 1e3, 3),
+        "gather_only_ms": round(t_gather * 1e3, 3),
+        "hbm_floor_ms": round(bytes_mv / 800e9 * 1e3, 3),
+        "mv_gbps": round(bytes_mv / t_mv / 1e9, 1),
+    }), flush=True)
+
+    # block-ELL: same operator grouped into dense J-feature blocks
+    # (ops/linalg.BlockSparse — J x fewer gather/scatter indices)
+    from insr_pde_tpu.ops.linalg import BlockSparse
+    J = 16
+    S = NNZ // J
+    bvals = vals.reshape(R, S, J)
+    bcols = jax.random.randint(k2, (R, S), 0, NCOLS // J)
+    B = BlockSparse(vals=bvals, cols=bcols, n_blocks=NCOLS // J)
+    bmv = jax.jit(lambda x: B.mv(x))
+    brmv = jax.jit(lambda r: B.rmv(r))
+    tb_mv = _time_steps(lambda: jax.block_until_ready(bmv(x)), n=10)
+    tb_rmv = _time_steps(lambda: jax.block_until_ready(brmv(r)), n=10)
+    print(json.dumps({
+        "probe": "spmv", "layout": "block_ell", "block_dim": J,
+        "slots": S,
+        "mv_ms": round(tb_mv * 1e3, 3), "rmv_ms": round(tb_rmv * 1e3, 3),
+        "mv_speedup_vs_scalar": round(t_mv / tb_mv, 2),
+        "rmv_speedup_vs_scalar": round(t_rmv / tb_rmv, 2),
+        "mv_gbps": round(bytes_mv / tb_mv / 1e9, 1),
+    }), flush=True)
+
+
 def probe_precision():
     """MXU pass count (default=1, high=3, highest=6 bf16 passes) on the
     paper-scale pressure phase: wall-clock per 1000-iteration chunk AND
@@ -288,5 +350,5 @@ if __name__ == "__main__":
      "fluid": probe_fluid,
      "advect_scaling": probe_advect_scaling,
      "elasticity3d": probe_elasticity3d,
-     "vgl": probe_vgl,
+     "vgl": probe_vgl, "spmv": probe_spmv,
      "precision": probe_precision}[sys.argv[1]]()

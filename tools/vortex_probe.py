@@ -57,6 +57,8 @@ def main():
                     default="auto")
     ap.add_argument("--w_bc", type=float, default=None)
     ap.add_argument("--band_width", type=float, default=None)
+    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+                    default="value")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")
     args = ap.parse_args()
@@ -104,7 +106,7 @@ def main():
         picard_iters=1, cgls_maxiter=args.cgls_maxiter,
         cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
-        cgls_precondition=args.precondition,
+        cgls_precondition=args.precondition, stream_bc=args.stream_bc,
         log_dir="/tmp/vortex_probe_log")
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
 

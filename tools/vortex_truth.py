@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--band_width", type=float, default=1.0)
     ap.add_argument("--lsqr_iters", type=int, default=40000)
     ap.add_argument("--cgls_maxiter", type=int, default=2000)
+    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+                    default="value")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,7 @@ def main():
         pou="smooth", cgls_damp=args.damp,
         cgls_precondition="on" if args.damp > 0 else "auto",
         band_width=args.band_width, w_bc=args.w_bc,
-        log_dir="/tmp/vortex_truth_log")
+        stream_bc=args.stream_bc, log_dir="/tmp/vortex_truth_log")
     model = StreamVortexModel(cfg, log=False)
 
     log("assemble ...")
@@ -104,8 +106,9 @@ def main():
     blocks_cgls = {k: v["rms"] for k, v in model.block_residuals().items()}
 
     # swap in the scipy solution and re-measure
+    import jax.numpy as jnp
     model.params = model.params._replace(
-        u=np.asarray(x64, dtype=np.float32).reshape(model.params.u.shape))
+        u=jnp.asarray(x64, dtype=jnp.float32).reshape(model.params.u.shape))
     err_lsqr = inlet_error(model)
     blocks_lsqr = {k: v["rms"] for k, v in model.block_residuals().items()}
 
