@@ -253,3 +253,43 @@ def test_block_sparse_sharded_matches_single_device():
                                   maxiter=60, tol=0.0, damp=1e-3)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_block_sparse_sharded_scaling():
+    """Layout-intent pin for the BLOCK layout (the production vortex
+    operator): per-device compiled work of the row-sharded CGLS shrinks
+    with the mesh, the shard_map body sees 1/n of the block rows, and the
+    column-space reduction spans the whole mesh."""
+    import re
+
+    from jax.sharding import Mesh
+
+    from insr_pde_tpu.ops.linalg import BlockSparse, cgls_sparse_sharded
+
+    R, S, J, NB = 4096, 4, 8, 256
+    rng = np.random.RandomState(1)
+    vals = jnp.asarray(rng.randn(R, S, J).astype(np.float32))
+    cols = jnp.asarray(rng.randint(0, NB, (R, S)).astype(np.int32))
+    b = jnp.asarray(rng.randn(R).astype(np.float32))
+    x0 = jnp.zeros(NB * J)
+
+    flops = {}
+    for n in (1, 8):
+        mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
+
+        def f(vals, cols, b, x0, mesh=mesh):
+            A = BlockSparse(vals=vals, cols=cols, n_blocks=NB)
+            x, _ = cgls_sparse_sharded(mesh, "data", A, b, x0,
+                                       maxiter=50, tol=0.0, damp=0.0)
+            return x
+
+        lo = jax.jit(f).lower(vals, cols, b, x0)
+        ca = lo.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops[n] = float(ca["flops"])
+        st = lo.as_text()
+        assert f"tensor<{R // n}x{S}x{J}xf32>" in st, \
+            f"mesh={n}: shard_map body does not see {R // n} local rows"
+        assert re.search(r"all_reduce", st), f"mesh={n}: no all_reduce"
+    assert flops[8] < 0.25 * flops[1], flops
