@@ -10,6 +10,13 @@ stop) so the number is deterministic and comparable.
 SECONDARY (extra fields) — the round-1 advect1D workload (reference
 `scripts/advect1D.sh`), kept for cross-round comparability.
 
+Drift-proofing (VERDICT r2 weak #3): each metric is min-of-N over N=5
+measured repetitions, with mean and spread reported alongside — the tunneled
+TPU's per-step variance was measured at ~10% round-to-round, which a single
+mean-of-3 cannot distinguish from a real 10% regression. The measured torch
+baseline seconds are included verbatim so a vs_baseline shift is attributable
+to whichever side moved.
+
 Baseline = from-scratch PyTorch eager implementations of the identical
 per-iteration computation, timed on this host and scaled to the same
 iteration count. The reference repo publishes no numbers (BASELINE.md), so
@@ -45,6 +52,7 @@ FLUID_ITERS = 3000          # per phase, fixed (reference max_n_iters default
 ADV_ITERS_PER_STEP = 2000
 ADV_N_SAMPLES = 5000
 TORCH_MEASURE_ITERS = 20
+REPS = 5                     # min-of-N repetitions per metric
 
 V5E_BF16_PEAK_FLOPS = 197e12
 
@@ -73,7 +81,7 @@ def bench_fluid() -> tuple[float, float]:
         model.initialize()
         model.step()                # compiles all three phase programs
         times = []
-        for _ in range(3):
+        for _ in range(REPS):
             t0 = time.perf_counter()
             model.step()
             times.append(time.perf_counter() - t0)
@@ -99,7 +107,7 @@ def bench_fluid() -> tuple[float, float]:
             if isinstance(cost, (list, tuple)):
                 cost = cost[0] if cost else {}
             flops_per_iter += float((cost or {}).get("flops", 0.0))
-    return min(times), flops_per_iter * FLUID_ITERS
+    return times, flops_per_iter * FLUID_ITERS
 
 
 def bench_fluid_torch_baseline() -> float:
@@ -216,11 +224,11 @@ def bench_advect() -> float:
         model.initialize()
         model.step()
         times = []
-        for _ in range(3):
+        for _ in range(REPS):
             t0 = time.perf_counter()
             model.step()
             times.append(time.perf_counter() - t0)
-    return min(times)
+    return times
 
 
 def bench_advect_torch_baseline() -> float:
@@ -286,30 +294,45 @@ def bench_advect_torch_baseline() -> float:
     return per_iter * ADV_ITERS_PER_STEP
 
 
+def _stats(times):
+    mn = min(times)
+    mean = sum(times) / len(times)
+    spread = (max(times) - mn) / mn * 100.0
+    return mn, mean, spread
+
+
 def main():
-    fluid_sec, fluid_flops = bench_fluid()
-    adv_sec = bench_advect()
+    fluid_times, fluid_flops = bench_fluid()
+    adv_times = bench_advect()
+    fluid_sec, fluid_mean, fluid_spread = _stats(fluid_times)
+    adv_sec, adv_mean, adv_spread = _stats(adv_times)
     try:
         fluid_base = bench_fluid_torch_baseline()
         fluid_vs = fluid_base / fluid_sec
     except Exception:
-        fluid_vs = float("nan")
+        fluid_base, fluid_vs = float("nan"), float("nan")
     try:
         adv_base = bench_advect_torch_baseline()
         adv_vs = adv_base / adv_sec
     except Exception:
-        adv_vs = float("nan")
+        adv_base, adv_vs = float("nan"), float("nan")
     achieved = fluid_flops / fluid_sec if fluid_sec > 0 else 0.0
     print(json.dumps({
         "metric": f"fluid2d_paper_sec_per_timestep_{FLUID_ITERS}x3iters",
         "value": round(fluid_sec, 4),
         "unit": "sec/timestep",
         "vs_baseline": round(fluid_vs, 2),
+        "fluid_mean_of_5": round(fluid_mean, 4),
+        "fluid_spread_pct": round(fluid_spread, 1),
+        "fluid_torch_baseline_sec": round(fluid_base, 2),
         "fluid_ms_per_iter": round(fluid_sec / (3 * FLUID_ITERS) * 1e3, 4),
         "fluid_achieved_gflops": round(achieved / 1e9, 1),
         "fluid_mfu_vs_v5e_bf16_peak": round(achieved / V5E_BF16_PEAK_FLOPS, 5),
         "advect1d_sec_per_timestep": round(adv_sec, 4),
         "advect1d_vs_baseline": round(adv_vs, 2),
+        "advect1d_mean_of_5": round(adv_mean, 4),
+        "advect1d_spread_pct": round(adv_spread, 1),
+        "advect1d_torch_baseline_sec": round(adv_base, 2),
     }))
 
 

@@ -29,8 +29,11 @@ from .solver import Solver
 
 class BaseModel:
     def __init__(self, cfg: Config, mesh=None):
-        from ..ops.precision import set_matmul_precision
-        set_matmul_precision(getattr(cfg, "matmul_precision", "highest"))
+        # per-model precision snapshot: threaded into the networks (via
+        # get_network) and each phase Solver, NOT a process-global write —
+        # two models with different cfg.matmul_precision stay independent
+        # (ADVICE r2)
+        self.matmul_precision = getattr(cfg, "matmul_precision", None)
         self.cfg = cfg
         self.dt = cfg.dt
         self.max_n_iters = cfg.max_n_iters
@@ -109,7 +112,8 @@ class BaseModel:
                 plateau_patience=self.early_stop_plateau,
                 early_stop_min_lr=self.min_lr,
                 mesh=self.mesh, mesh_axis=self.cfg.mesh_axis,
-                debug_nan=getattr(self.cfg, "debug_nan", False))
+                debug_nan=getattr(self.cfg, "debug_nan", False),
+                precision=self.matmul_precision)
         solver = self._solvers[tag]
 
         last_vis = [0]

@@ -110,7 +110,8 @@ class Solver:
                  plateau_threshold: float = 1e-4, plateau_min_lr: float = 1e-8,
                  early_stop_min_lr: float = 1.1e-8,
                  mesh: Optional[Mesh] = None, mesh_axis: str = "data",
-                 debug_nan: bool = False, flatten: bool = True):
+                 debug_nan: bool = False, flatten: bool = True,
+                 precision: Optional[str] = None):
         # flatten=True runs Adam/plateau/freeze on ONE raveled param vector
         # instead of the per-layer pytree. The per-iteration gradient program
         # is a small fraction of the compiled step at these network sizes
@@ -120,6 +121,12 @@ class Solver:
         # collapses them ~15x. Adam is elementwise, so the math is identical.
         self.flatten = flatten
         self.debug_nan = debug_nan
+        # per-Solver precision snapshot (None -> process default at trace
+        # time). Snapshotting at construction prevents a later model with a
+        # different cfg.matmul_precision from changing this solver's
+        # not-yet-traced chunk programs (ADVICE r2).
+        self.precision = precision
+        self._param_struct = None  # (treedef, shapes) pinned at first fit
         self.loss_fn = loss_fn
         self.lr = lr
         self.max_n_iters = max_n_iters
@@ -196,13 +203,14 @@ class Solver:
     def _get_chunk_fn(self, length: int):
         if length not in self._chunk_fns:
             from ..ops.precision import matmul_precision_name
+            level = self.precision or matmul_precision_name()
 
             @partial(jax.jit, donate_argnums=0)
             def run_chunk(state: SolveState, aux):
                 # context default for ops without an explicit precision
                 # (einsums in diff/elasticity paths); the SIREN chains pass
-                # the same knob explicitly (ops/precision.py)
-                with jax.default_matmul_precision(matmul_precision_name()):
+                # the per-model knob explicitly (ops/precision.py)
+                with jax.default_matmul_precision(level):
                     return jax.lax.scan(partial(self._step, aux), state, None,
                                         length=length)
             self._chunk_fns[length] = run_chunk
@@ -215,7 +223,20 @@ class Solver:
             flat, unravel = ravel_pytree(params)
             # the unravel closure is structural (treedef + shapes); it is
             # identical across fits of the same phase, so reusing the cached
-            # compiled chunk (which baked it in at trace time) stays valid
+            # compiled chunk (which baked it in at trace time) stays valid.
+            # Guard that invariant: a different treedef/shape layout of equal
+            # flat size would silently unravel into the wrong layout
+            # (ADVICE r2) — refuse instead.
+            struct = (jax.tree_util.tree_structure(params),
+                      tuple(l.shape for l in jax.tree_util.tree_leaves(params)))
+            if self._param_struct is None:
+                self._param_struct = struct
+            elif struct != self._param_struct:
+                raise ValueError(
+                    "Solver.fit called with a param pytree whose "
+                    f"treedef/shapes {struct} differ from the layout this "
+                    f"solver first compiled for {self._param_struct}; build "
+                    "a fresh Solver per param layout.")
             self._unravel = unravel
             params = flat
         else:

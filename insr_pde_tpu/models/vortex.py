@@ -457,6 +457,16 @@ class VortexModel:
         if cfg.picard_iters < 1:
             raise ValueError(f"picard_iters must be >= 1, got "
                              f"{cfg.picard_iters}")
+        if cfg.cgls_chunk > 0 and self.mesh is not None and solver == "cgls":
+            # the sharded path runs one long shard_map while_loop program —
+            # exactly what cgls_chunk exists to avoid on fragile backends.
+            # Don't let the flag silently do nothing (ADVICE r2).
+            import warnings
+            warnings.warn(
+                "cgls_chunk > 0 is ignored on the mesh-sharded CGLS path: "
+                "the sharded solve runs as one while_loop program. Drop the "
+                "mesh (single-chip chunked solve) or set cgls_chunk=0.",
+                stacklevel=2)
         u_flat = self.params.u.reshape(-1)
         res = jnp.nan
         for it in range(cfg.picard_iters):
@@ -562,6 +572,54 @@ class VortexModel:
             save_figure(fig, os.path.join(output_folder,
                                           f"slice{i:02d}_speed.png"))
         np.save(os.path.join(output_folder, "field.npy"), vals)
+
+    # ---------------- checkpoint / recap ----------------
+    # The reference never persists the solved coefficient tensor (its
+    # matrix_solver scatters into u_ in memory only, vortex/model.py:466-475);
+    # here the solve is resumable and recap-able like the BaseModel PDEs.
+    def save_ckpt(self, path: str):
+        """Save the coefficient tensor + a full config snapshot; the basis
+        geometry is deterministic from (seed, config) so coefficients are
+        all the state there is."""
+        import dataclasses as _dc
+
+        from ..utils.ckpt import save_pytree
+        meta = {k: v for k, v in _dc.asdict(self.cfg).items()
+                if isinstance(v, (int, float, str, bool))}
+        meta["formulation"] = ("stream" if isinstance(self, StreamVortexModel)
+                               else "velocity")
+        save_pytree(path, {"u": self.params.u}, metadata=meta)
+
+    def load_ckpt(self, path: str) -> dict:
+        from ..utils.ckpt import load_pytree
+        tree, meta = load_pytree(path, {"u": self.params.u})
+        self.params = self.params._replace(u=jnp.asarray(tree["u"]))
+        return meta
+
+
+def load_vortex_ckpt(path: str, log: bool = False) -> VortexModel:
+    """Rebuild a solved vortex model from a `save_ckpt` file: reconstruct
+    the (deterministic) basis from the saved config snapshot, then restore
+    the coefficients. Used by recap.py to re-render slices without
+    re-solving."""
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    data = _np.load(path if path.endswith(".npz") else path + ".npz")
+    meta = {k[len("__meta__"):]: data[k][()] for k in data.files
+            if k.startswith("__meta__")}
+    formulation = str(meta.pop("formulation", "velocity"))
+    fields = {f.name: f.type for f in _dc.fields(VortexConfig)}
+    kwargs = {}
+    for k, v in meta.items():
+        if k in fields:
+            kwargs[k] = v.item() if hasattr(v, "item") else v
+    cfg = VortexConfig(**kwargs)
+    cls = StreamVortexModel if formulation == "stream" else VortexModel
+    model = cls(cfg, log=log)
+    model.load_ckpt(path)
+    return model
 
 
 # --------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from .precision import matmul_precision
+from .precision import precision_of
 
 OMEGA_0 = 30.0
 
@@ -32,18 +32,22 @@ Params = List[Tuple[jax.Array, jax.Array]]
 
 
 def value_grad_laplacian(params: Params, coords: jax.Array,
-                         omega: float = OMEGA_0):
-    """(u (N, m), J (N, d, m), L (N, m)) of a sine-MLP at (N, d) coords."""
+                         omega: float = OMEGA_0, precision=None):
+    """(u (N, m), J (N, d, m), L (N, m)) of a sine-MLP at (N, d) coords.
+
+    `precision` is the per-model matmul precision name (None -> process
+    default; see ops/precision.precision_of)."""
+    prec = precision_of(precision)
     n, d = coords.shape
     h = coords
     J = jnp.broadcast_to(jnp.eye(d, dtype=coords.dtype)[None], (n, d, d))
     L = jnp.zeros((n, d), coords.dtype)
     n_layers = len(params)
     for i, (w, b) in enumerate(params):
-        z = jnp.dot(h, w, precision=matmul_precision()) + b
+        z = jnp.dot(h, w, precision=prec) + b
         Jz = jnp.einsum("ndf,fg->ndg", J, w,
-                        precision=matmul_precision())
-        Lz = jnp.dot(L, w, precision=matmul_precision())
+                        precision=prec)
+        Lz = jnp.dot(L, w, precision=prec)
         if i < n_layers - 1:
             c = jnp.cos(omega * z)
             s = jnp.sin(omega * z)
@@ -56,16 +60,18 @@ def value_grad_laplacian(params: Params, coords: jax.Array,
     return h, J, L
 
 
-def value_grad(params: Params, coords: jax.Array, omega: float = OMEGA_0):
+def value_grad(params: Params, coords: jax.Array, omega: float = OMEGA_0,
+               precision=None):
     """(u (N, m), J (N, d, m)) — the first-order half of the chain."""
+    prec = precision_of(precision)
     n, d = coords.shape
     h = coords
     J = jnp.broadcast_to(jnp.eye(d, dtype=coords.dtype)[None], (n, d, d))
     n_layers = len(params)
     for i, (w, b) in enumerate(params):
-        z = jnp.dot(h, w, precision=matmul_precision()) + b
+        z = jnp.dot(h, w, precision=prec) + b
         Jz = jnp.einsum("ndf,fg->ndg", J, w,
-                        precision=matmul_precision())
+                        precision=prec)
         if i < n_layers - 1:
             c = jnp.cos(omega * z)
             h = jnp.sin(omega * z)

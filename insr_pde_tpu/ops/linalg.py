@@ -281,33 +281,17 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol, damp=damp)
 
 
-def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
-                        maxiter: int = 500, tol: float = 1e-8,
-                        chunk: int = 200, precondition: bool = True,
-                        damp: float = 0.0):
-    """`cgls_sparse` with the iteration loop split into fixed-size chunk
-    programs (host sync between chunks) instead of one long `while_loop`
-    program.
-
-    Purpose: bound the size/duration of any single XLA program on fragile
-    backends — the reference-scale vortex solve reproducibly kills the
-    tunneled TPU worker when assemble + a 2000-iteration CGLS while_loop
-    run back-to-back (CLAUDE.md), so this caps each program at `chunk`
-    iterations and lets the host breathe (and bisect) between them. One
-    chunk program is compiled and reused; per-chunk convergence freezing
-    matches the while_loop semantics exactly, so the iterates are
-    bit-identical to `cgls_sparse` on a healthy backend (pinned by
-    tests/test_linalg.py).
-    """
-    d2 = damp * damp
-    # rebuild the operator inside jit from its ARRAY leaves (arrays as jit
-    # arguments, never closure constants — tunnel-backend rule, CLAUDE.md);
-    # _replace only copies the static field, works for PaddedSparse and
-    # BlockSparse alike
-    mk = lambda vals, cols: A._replace(vals=vals, cols=cols)
+def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
+    """Build the (init, run_chunk) jitted chunk programs for
+    `cgls_sparse_chunked`. Cached at module level (see `_CHUNKED_CACHE`) so
+    repeat solves — e.g. one per Picard iteration per timestep — hit the jit
+    cache instead of retracing fresh closures every call (~minutes per
+    compile on the tunneled TPU). `damp²` is an array argument, not a trace
+    constant, so sweeping damp reuses the same programs."""
+    mk = lambda vals, cols: op_cls(vals, cols, static_field)
 
     @jax.jit
-    def init(vals, cols, b, x0):
+    def init(vals, cols, b, x0, d2):
         Aop = mk(vals, cols)
         if precondition:
             dcol = Aop.col_norms()
@@ -324,7 +308,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                 phi0, y0, phi0), dcol
 
     @jax.jit
-    def run_chunk(vals, cols, state, dcol, stop2):
+    def run_chunk(vals, cols, state, dcol, stop2, d2):
         Aop = mk(vals, cols)
 
         def cond(st):
@@ -355,11 +339,44 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                          jnp.asarray(0, jnp.int32)))
         return (y, r, p, gamma, k, phi, by, bphi)
 
-    state, dcol = init(A.vals, A.cols, b, x0)
+    return init, run_chunk
+
+
+_CHUNKED_CACHE: dict = {}
+
+
+def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
+                        maxiter: int = 500, tol: float = 1e-8,
+                        chunk: int = 200, precondition: bool = True,
+                        damp: float = 0.0):
+    """`cgls_sparse` with the iteration loop split into fixed-size chunk
+    programs (host sync between chunks) instead of one long `while_loop`
+    program.
+
+    Purpose: bound the size/duration of any single XLA program on fragile
+    backends — the reference-scale vortex solve reproducibly kills the
+    tunneled TPU worker when assemble + a 2000-iteration CGLS while_loop
+    run back-to-back (CLAUDE.md), so this caps each program at `chunk`
+    iterations and lets the host breathe (and bisect) between them. The
+    chunk programs are cached at module level keyed on (operator type,
+    static column count, precondition, chunk, maxiter) so repeat solves
+    reuse the compiled programs; per-chunk convergence freezing matches
+    the while_loop semantics exactly, so the iterates are bit-identical
+    to `cgls_sparse` on a healthy backend (pinned by tests/test_linalg.py).
+    """
+    static_field = A[-1]  # n_cols (PaddedSparse) / n_blocks (BlockSparse)
+    key = (type(A), static_field, bool(precondition), int(chunk),
+           int(maxiter))
+    if key not in _CHUNKED_CACHE:
+        _CHUNKED_CACHE[key] = _chunked_cgls_fns(*key)
+    init, run_chunk = _CHUNKED_CACHE[key]
+
+    d2 = jnp.asarray(damp * damp, jnp.float32)
+    state, dcol = init(A.vals, A.cols, b, x0, d2)
     stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
     it = 0
     while True:
-        state = run_chunk(A.vals, A.cols, state, dcol, stop2)
+        state = run_chunk(A.vals, A.cols, state, dcol, stop2, d2)
         new_it, gamma = int(state[4]), float(state[3])
         diverged = float(state[5]) >= 1e4 * float(state[7])
         if (new_it >= maxiter or gamma <= float(stop2) or new_it == it

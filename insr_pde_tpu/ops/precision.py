@@ -39,5 +39,22 @@ def matmul_precision() -> jax.lax.Precision:
     return _LEVELS[_MATMUL_PRECISION]
 
 
+def precision_of(level) -> jax.lax.Precision:
+    """Resolve a per-model precision name to jax.lax.Precision; None falls
+    back to the process-level knob. Per-model threading (networks.MLP
+    .precision, Solver(precision=...)) is the production path — the global
+    is only the default for code that hasn't snapshotted one (ADVICE r2:
+    a process-global read at trace time lets a second model's cfg silently
+    change the first model's not-yet-traced programs)."""
+    if level is None:
+        return _LEVELS[_MATMUL_PRECISION]
+    if isinstance(level, jax.lax.Precision):
+        return level
+    if level not in _LEVELS:
+        raise ValueError(f"matmul_precision must be one of {list(_LEVELS)}, "
+                         f"got {level!r}")
+    return _LEVELS[level]
+
+
 def matmul_precision_name() -> str:
     return _MATMUL_PRECISION

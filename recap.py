@@ -16,7 +16,31 @@ enable_compilation_cache()
 from main import build_model
 
 
+def recap_vortex(argv):
+    """Re-render vortex slices from a starterL coefficient checkpoint
+    (the basis is deterministic from the saved config snapshot, so no
+    re-solve is needed)."""
+    import argparse
+
+    ap = argparse.ArgumentParser("recap vortex")
+    ap.add_argument("--ckpt", type=str, required=True,
+                    help="vortex_ckpt.npz written by starterL --ckpt_path")
+    ap.add_argument("-o", "--output", type=str, default="recap")
+    ap.add_argument("-vr", "--vis_resolution", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from insr_pde_tpu.models.vortex import load_vortex_ckpt
+    model = load_vortex_ckpt(args.ckpt)
+    out = (args.output if os.path.isabs(args.output)
+           else os.path.join(os.path.dirname(os.path.abspath(args.ckpt)),
+                             args.output))
+    model.write_output(out, resolution=args.vis_resolution)
+    print(f"re-rendered {model.cfg.time_num} slices to {out}")
+
+
 def main(argv=None):
+    if argv and argv[0] == "vortex":
+        return recap_vortex(argv[1:])
     cfg = parse_args(argv, phase="recap")
     print(cfg)
 

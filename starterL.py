@@ -62,6 +62,16 @@ def main(argv=None):
                     help="stream formulation wall/inlet treatment: explicit "
                          "psi Dirichlet data (default; see VortexConfig) or "
                          "u = curl(psi) derivative rows")
+    ap.add_argument("--ckpt_path", type=str, default="",
+                    help="save the solved coefficients (+ config snapshot) "
+                         "here after each round; default "
+                         "<output_path>/vortex_ckpt.npz (NOT log_dir, which "
+                         "is rm-overwritten on model construction). 'none' "
+                         "disables.")
+    ap.add_argument("--resume", type=str, default="",
+                    help="load a vortex_ckpt.npz before solving (warm "
+                         "resume; recap.py vortex re-renders without "
+                         "solving)")
     args = ap.parse_args(argv)
 
     if args.formulation == "stream":
@@ -84,6 +94,11 @@ def main(argv=None):
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
     model = cls(cfg)
+    if args.resume:
+        model.load_ckpt(args.resume)
+        print(f"resumed coefficients from {args.resume}")
+    ckpt_path = (args.ckpt_path
+                 or f"{args.output_path}/vortex_ckpt.npz")
 
     for r in range(args.n_rounds):
         print(f"round: {r}")
@@ -93,6 +108,8 @@ def main(argv=None):
         else:
             loss = model.train(args.train_iters)
             print(f"  train loss: {loss:.4e}")
+        if ckpt_path != "none":
+            model.save_ckpt(ckpt_path)
         model.write_output(args.output_path)
 
 

