@@ -113,6 +113,14 @@ class VortexConfig:
     #                  oscillatory between points — see COMPARISON.md).
     #   "derivative" — impose u = curl(psi) componentwise like the velocity
     #                  formulation (free-slip u.n = 0, inlet u_x = v rows).
+    #   "both"       — value AND derivative rows together (Hermite-style
+    #                  pinning): psi value rows fix the boundary data at the
+    #                  points, the derivative rows fix u there too, which
+    #                  suppresses the between-point oscillation of psi's
+    #                  derivatives that the underdetermined value-only
+    #                  system leaves free (COMPARISON.md round 2: converged
+    #                  f64 value-BC solve met the rows but missed the
+    #                  sampled inlet by ~70%).
     stream_bc: str = "value"
     # least-squares block weights (1.0 everywhere = reference parity, where
     # balance comes only from row counts x per-block max normalization)
@@ -734,9 +742,10 @@ class StreamVortexModel(VortexModel):
 
         # (no continuity rows: div curl(psi) == 0 identically)
 
-        # -- free-slip walls
+        # -- free-slip walls (value and/or derivative rows; "both" adds
+        #    the Hermite-style derivative pinning on top of the values)
         pbn = gather(pts.neu)
-        if cfg.stream_bc == "value":
+        if cfg.stream_bc in ("value", "both"):
             # psi constant along each wall, with the channel-flux values
             # pinned exactly: 0 on the bottom (gauge), 2*v on the top.
             # norm[:, 1] > 0 identifies bottom-wall points (build_points).
@@ -745,7 +754,7 @@ class StreamVortexModel(VortexModel):
             add_block(basis_val(pbn)[:, :, PSI, :],
                       block_ids(rcfg, pbn.idx, PSI), rhs_n,
                       weight=cfg.w_bc)
-        else:
+        if cfg.stream_bc in ("derivative", "both"):
             vals = jnp.einsum("qkjd,qd->qkj", vel_cols(pbn), pts.norm)
             add_block(vals, block_ids(rcfg, pbn.idx, PSI),
                       jnp.zeros(vals.shape[0]), weight=cfg.w_bc)
@@ -756,25 +765,26 @@ class StreamVortexModel(VortexModel):
                   block_ids(rcfg, pbd.idx, PVAR),
                   jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
 
-        # -- inlet rows (value mode: t>0 slices only — the t=0 slice
+        # -- inlet rows (value/both modes: t>0 slices only — the t=0 slice
         #    belongs to the init block, see __init__)
-        left = self.left_t if cfg.stream_bc == "value" else pts.left
+        left = (self.left_t if cfg.stream_bc in ("value", "both")
+                else pts.left)
         pbl = gather(left)
         vl = vel_cols(pbl)
         c_l = block_ids(rcfg, pbl.idx, PSI)
-        if cfg.stream_bc == "value":
+        if cfg.stream_bc in ("value", "both"):
             # u_x = psi_y = v integrates to the explicit linear profile
             # psi = v*(y+1) along the left wall (0 at the bottom corner,
             # 2v at the top corner — matching the wall values above)
             rhs_l = cfg.internal_v * (pts.x[left][:, 1] + 1.0)
             add_block(basis_val(pbl)[:, :, PSI, :],
                       c_l, rhs_l, weight=cfg.w_bc)
-        else:
+        if cfg.stream_bc in ("derivative", "both"):
             add_block(vl[..., 0], c_l,
                       jnp.full((len(left),), cfg.internal_v),
                       weight=cfg.w_bc)
         # tangential inlet component u_y = -psi_x = 0 (derivative rows in
-        # both modes)
+        # all modes)
         add_block(vl[..., 1], c_l,
                   jnp.zeros(len(left)), weight=cfg.w_bc)
 
@@ -806,19 +816,27 @@ class StreamVortexModel(VortexModel):
     # -------- nonlinear (Adam) residual --------
     def block_names_counts(self):
         pts, cfg = self.pts, self.cfg
-        n_left = (len(self.left_t) if cfg.stream_bc == "value"
-                  else len(pts.left))
-        return ([("momentum_u", len(pts.inner)),
-                 ("momentum_v", len(pts.inner)),
-                 ("free_slip", len(pts.neu)),
-                 ("outlet_p", len(pts.dirp)),
-                 ("inlet_u", n_left),
-                 ("inlet_v", n_left),
-                 ("init_u", len(pts.init)),
-                 ("init_v", len(pts.init)),
-                 ("init_p", len(pts.init)),
-                 ("init_psi", len(pts.init)),
-                 ("gauge_psi", len(self.gauge_ids))])
+        value = cfg.stream_bc in ("value", "both")
+        deriv = cfg.stream_bc in ("derivative", "both")
+        n_left = len(self.left_t) if value else len(pts.left)
+        names = [("momentum_u", len(pts.inner)),
+                 ("momentum_v", len(pts.inner))]
+        if value:
+            names.append(("wall_psi", len(pts.neu)))
+        if deriv:
+            names.append(("free_slip", len(pts.neu)))
+        names.append(("outlet_p", len(pts.dirp)))
+        if value:
+            names.append(("inlet_psi", n_left))
+        if deriv:
+            names.append(("inlet_u", n_left))
+        names += [("inlet_v", n_left),
+                  ("init_u", len(pts.init)),
+                  ("init_v", len(pts.init)),
+                  ("init_p", len(pts.init)),
+                  ("init_psi", len(pts.init)),
+                  ("gauge_psi", len(self.gauge_ids))]
+        return names
 
     def residual_loss(self, u: jax.Array, pb=None, pb2=None) -> jax.Array:
         cfg, pts = self.cfg, self.pts
@@ -837,24 +855,34 @@ class StreamVortexModel(VortexModel):
         lhs1 = cfg.rho * adv + cfg.rho * dveldt + grad2[:, PVAR]
         rhs1 = jnp.full_like(lhs1, cfg.gravity * cfg.rho)
 
-        if cfg.stream_bc == "value":
+        value = cfg.stream_bc in ("value", "both")
+        deriv = cfg.stream_bc in ("derivative", "both")
+        lhs3_parts, rhs3_parts = [], []
+        if value:
             # psi Dirichlet data (see assemble): walls carry the channel
             # flux, the inlet its linear profile (t>0 slices only)
-            lhs3 = val[pts.neu, PSI]
-            rhs3 = jnp.where(pts.norm[:, 1] > 0, 0.0,
-                             2.0 * cfg.internal_v)
-            left = self.left_t
-            lhs5 = jnp.stack([val[left, PSI], vel[left, 1]], axis=1)
-            rhs5 = jnp.stack(
-                [cfg.internal_v * (pts.x[left][:, 1] + 1.0),
-                 jnp.zeros(len(left))], axis=1)
-        else:
-            lhs3 = jnp.einsum("qd,qd->q", vel[pts.neu], pts.norm)
-            rhs3 = 0.0
-            lhs5 = vel[pts.left]
-            rhs5 = jnp.stack(
-                [jnp.full(lhs5.shape[0], cfg.internal_v),
-                 jnp.zeros(lhs5.shape[0])], axis=1)
+            lhs3_parts.append(val[pts.neu, PSI])
+            rhs3_parts.append(jnp.where(pts.norm[:, 1] > 0, 0.0,
+                                        2.0 * cfg.internal_v))
+        if deriv:
+            lhs3_parts.append(jnp.einsum("qd,qd->q", vel[pts.neu],
+                                         pts.norm))
+            rhs3_parts.append(jnp.zeros(len(pts.neu)))
+        lhs3 = jnp.concatenate(lhs3_parts)
+        rhs3 = jnp.concatenate(rhs3_parts)
+
+        left = self.left_t if value else pts.left
+        lhs5_parts, rhs5_parts = [], []
+        if value:
+            lhs5_parts.append(val[left, PSI])
+            rhs5_parts.append(cfg.internal_v * (pts.x[left][:, 1] + 1.0))
+        if deriv:
+            lhs5_parts.append(vel[left, 0])
+            rhs5_parts.append(jnp.full(len(left), cfg.internal_v))
+        lhs5_parts.append(vel[left, 1])         # tangential u_y = 0
+        rhs5_parts.append(jnp.zeros(len(left)))
+        lhs5 = jnp.stack(lhs5_parts, axis=1)
+        rhs5 = jnp.stack(rhs5_parts, axis=1)
         lhs4 = val[pts.dirp, PVAR]
         lhs6 = jnp.concatenate([vel[pts.init], val[pts.init]], axis=-1)
         lhs7 = val[self.gauge_ids, PSI]

@@ -57,7 +57,7 @@ def main(argv=None):
                          "for any least-squares solver (its own notebook "
                          "concedes the scene fails); rho~1 converges")
     ap.add_argument("--internal_v", type=float, default=8.0)
-    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+    ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value",
                     help="stream formulation wall/inlet treatment: explicit "
                          "psi Dirichlet data (default; see VortexConfig) or "

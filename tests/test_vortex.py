@@ -399,15 +399,17 @@ def test_block_residual_layout_matches_assembly(tiny_stream, tiny_vortex):
         assert sum(n for _, n in counts) == b.shape[0], m.__class__.__name__
         blocks = m.block_residuals()
         assert set(blocks) == {name for name, _ in counts}
-        # inlet_u rhs is nonzero (u = v, or the psi profile in value-BC
-        # mode) — checks the offsets line up with the right rows
-        assert blocks["inlet_u"]["rhs_rms"] > 0
+        # the inlet data rows are nonzero (u = v, or the psi profile in
+        # value-BC mode) — checks the offsets line up with the right rows
+        stream_value = (getattr(m.cfg, "stream_bc", None)
+                        in ("value", "both") and hasattr(m, "gauge_ids"))
+        inlet_key = "inlet_psi" if stream_value else "inlet_u"
+        assert blocks[inlet_key]["rhs_rms"] > 0
         assert blocks["outlet_p"]["rhs_rms"] == 0.0
-        # stream value-BC mode carries the channel flux on the top wall;
-        # every other configuration has homogeneous free-slip rows
-        if getattr(m.cfg, "stream_bc", None) == "value" and hasattr(
-                m, "gauge_ids"):
-            assert blocks["free_slip"]["rhs_rms"] > 0
+        # stream value-BC modes carry the channel flux on the top wall
+        # (wall_psi rows); derivative free-slip rows are homogeneous
+        if stream_value:
+            assert blocks["wall_psi"]["rhs_rms"] > 0
         else:
             assert blocks["free_slip"]["rhs_rms"] == 0.0
 
@@ -435,3 +437,32 @@ def test_stream_value_bc_solver_stays_bounded():
     vals, _ = m.sample_field(32)
     g = np.asarray(vals).reshape(vals.shape[0], 32, 32, -1)
     assert float(np.max(np.abs(g[..., :2]))) < 100.0
+
+
+def test_stream_bc_both_layout_and_solve():
+    """stream_bc='both' adds value AND derivative BC rows (Hermite-style
+    pinning, VERDICT r2 #1); the layout map must tile the system and the
+    tiny benign scene must still solve to a bounded residual."""
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+    cfg = VortexConfig(
+        collocation_pts_num=64, boundary_num=32, time_num=3,
+        n_spatial_basis=25, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=1500, picard_iters=1,
+        pou="smooth", cgls_damp=0.0, w_bc=5.0, vis_resolution=16, seed=3,
+        stream_bc="both")
+    m = StreamVortexModel(cfg, log=False)
+    _, b = m.assemble(m.params.u)
+    counts = m.block_names_counts()
+    assert sum(n for _, n in counts) == b.shape[0]
+    names = [n for n, _ in counts]
+    # both families of BC rows present
+    assert "wall_psi" in names and "free_slip" in names
+    assert "inlet_psi" in names and "inlet_u" in names
+    res = m.matrix_solver()
+    assert np.isfinite(res)
+    blocks = m.block_residuals()
+    # the derivative inlet rows must be actively fit (residual below the
+    # rhs magnitude, i.e. better than the zero field) — a tiny 25-site
+    # basis cannot satisfy every block, so this is the scale-appropriate
+    # check; the at-scale quality bar lives in COMPARISON.md
+    assert blocks["inlet_u"]["rms"] < blocks["inlet_u"]["rhs_rms"]

@@ -57,7 +57,7 @@ def main():
                     default="auto")
     ap.add_argument("--w_bc", type=float, default=None)
     ap.add_argument("--band_width", type=float, default=None)
-    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+    ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")

@@ -41,6 +41,31 @@ def inlet_error(model, resolution=64):
     return float(np.mean(np.abs(ux - v)) / max(abs(v), 1e-30))
 
 
+def to_csr(A, b):
+    """ELL/block-ELL operator -> scipy CSR (float64).
+
+    Handles both PaddedSparse (vals (R, NNZ), scalar cols) and BlockSparse
+    (vals (R, S, J), block cols: scalar column = block_id * J + j)."""
+    import scipy.sparse as sp
+
+    vals = np.asarray(A.vals, dtype=np.float64)
+    b_np = np.asarray(b, dtype=np.float64)
+    if vals.ndim == 3:                       # BlockSparse
+        R, S, J = vals.shape
+        cols = (np.asarray(A.cols)[:, :, None] * J
+                + np.arange(J)[None, None, :])
+        nnz = S * J
+        vals = vals.reshape(R, nnz)
+        cols = cols.reshape(R, nnz)
+    else:
+        R, nnz = vals.shape
+        cols = np.asarray(A.cols)
+    indptr = np.arange(R + 1) * nnz
+    csr = sp.csr_matrix((vals.reshape(-1), cols.reshape(-1), indptr),
+                        shape=(R, A.n_cols))
+    return csr, b_np
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_spatial_basis", type=int, default=100)
@@ -54,7 +79,7 @@ def main():
     ap.add_argument("--band_width", type=float, default=1.0)
     ap.add_argument("--lsqr_iters", type=int, default=40000)
     ap.add_argument("--cgls_maxiter", type=int, default=2000)
-    ap.add_argument("--stream_bc", choices=["value", "derivative"],
+    ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value")
     args = ap.parse_args()
 
@@ -79,16 +104,9 @@ def main():
     log("assemble ...")
     A, b = jax.jit(lambda u, *pbs: model.assemble(u, *pbs))(
         model.params.u, *model._pbs())
-    vals = np.asarray(A.vals, dtype=np.float64)
-    cols = np.asarray(A.cols)
-    b_np = np.asarray(b, dtype=np.float64)
-    R, NNZ = vals.shape
-    n_cols = A.n_cols
-    indptr = np.arange(R + 1) * NNZ
-    csr = sp.csr_matrix((vals.reshape(-1), cols.reshape(-1), indptr),
-                        shape=(R, n_cols))
-    log(f"system: {R} x {n_cols}, nnz/row {NNZ}, |b| = "
-        f"{np.linalg.norm(b_np):.4e}")
+    csr, b_np = to_csr(A, b)
+    log(f"system: {csr.shape[0]} x {csr.shape[1]}, nnz "
+        f"{csr.nnz}, |b| = {np.linalg.norm(b_np):.4e}")
 
     log(f"scipy LSQR (float64, damp={args.damp}, "
         f"iters<={args.lsqr_iters}) ...")
