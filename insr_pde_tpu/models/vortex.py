@@ -85,6 +85,11 @@ class VortexConfig:
     # iterates; bounds single-program size/duration on fragile backends —
     # the tunneled-TPU reference-scale crash workaround, CLAUDE.md)
     cgls_chunk: int = 0
+    # with cgls_chunk > 0: re-enter each chunk from the best iterate with an
+    # exactly recomputed residual (periodic CGLS restart) — bounds the f32
+    # conjugacy drift that blows up plain CGLS on the ill-conditioned
+    # stream-formulation systems (ops/linalg.cgls_sparse_chunked)
+    cgls_restart: bool = False
     # round-trip the assembled system through host numpy between the
     # assemble and solve programs (breaks any device-buffer aliasing
     # between consecutive programs on the tunneled backend)
@@ -492,7 +497,8 @@ class VortexModel:
                     A, b, u_flat * cfg.warm_start,
                     maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
                     chunk=cfg.cgls_chunk,
-                    precondition=precond, damp=cfg.cgls_damp)
+                    precondition=precond, damp=cfg.cgls_damp,
+                    restart=cfg.cgls_restart)
                 u_flat, niter = x, info["niter"]
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":

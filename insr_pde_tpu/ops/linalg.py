@@ -308,6 +308,25 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
                 phi0, y0, phi0), dcol
 
     @jax.jit
+    def restart_state(vals, cols, b, state, dcol, d2):
+        """Re-enter CGLS from the current best iterate with an EXACTLY
+        recomputed residual (fresh Krylov process). f32 CGLS on the normal
+        equations loses conjugacy on ill-conditioned systems; restarting
+        every chunk bounds the drift at the cost of superlinear
+        convergence — the robust mode for the stream-vortex systems."""
+        Aop = mk(vals, cols)
+        y, r, p, gamma, k, phi, by, bphi = state
+        y = jnp.where(phi <= bphi, y, by)   # continue from the best point
+        r = b - Aop.mv(dcol * y)
+        s = dcol * Aop.rmv(r) - d2 * y
+        gamma = jnp.sum(s * s)
+        phi = jnp.sum(r * r) + d2 * jnp.sum(y * y)
+        better = phi < bphi
+        by = jnp.where(better, y, by)
+        bphi = jnp.where(better, phi, bphi)
+        return (y, r, s, gamma, k, phi, by, bphi)
+
+    @jax.jit
     def run_chunk(vals, cols, state, dcol, stop2, d2):
         Aop = mk(vals, cols)
 
@@ -339,7 +358,7 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
                          jnp.asarray(0, jnp.int32)))
         return (y, r, p, gamma, k, phi, by, bphi)
 
-    return init, run_chunk
+    return init, run_chunk, restart_state
 
 
 _CHUNKED_CACHE: dict = {}
@@ -348,7 +367,7 @@ _CHUNKED_CACHE: dict = {}
 def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                         maxiter: int = 500, tol: float = 1e-8,
                         chunk: int = 200, precondition: bool = True,
-                        damp: float = 0.0):
+                        damp: float = 0.0, restart: bool = False):
     """`cgls_sparse` with the iteration loop split into fixed-size chunk
     programs (host sync between chunks) instead of one long `while_loop`
     program.
@@ -363,13 +382,22 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     reuse the compiled programs; per-chunk convergence freezing matches
     the while_loop semantics exactly, so the iterates are bit-identical
     to `cgls_sparse` on a healthy backend (pinned by tests/test_linalg.py).
+
+    restart=True re-enters each chunk from the best iterate with an exactly
+    recomputed residual (periodic CGLS restart): NOT bit-identical to the
+    single while_loop, but bounds f32 conjugacy drift on ill-conditioned
+    systems — the robust mode for the stream-formulation vortex solves,
+    whose plain f32 CGLS blows up in solution amplitude (measured,
+    COMPARISON.md round 3).
     """
-    static_field = A[-1]  # n_cols (PaddedSparse) / n_blocks (BlockSparse)
+    # n_cols (PaddedSparse) / n_blocks (BlockSparse); a jit-built operator
+    # carries it as a (weakly-typed) array leaf — coerce to a hashable int
+    static_field = int(A[-1])
     key = (type(A), static_field, bool(precondition), int(chunk),
            int(maxiter))
     if key not in _CHUNKED_CACHE:
         _CHUNKED_CACHE[key] = _chunked_cgls_fns(*key)
-    init, run_chunk = _CHUNKED_CACHE[key]
+    init, run_chunk, restart_state = _CHUNKED_CACHE[key]
 
     d2 = jnp.asarray(damp * damp, jnp.float32)
     state, dcol = init(A.vals, A.cols, b, x0, d2)
@@ -383,6 +411,8 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                 or diverged):
             break
         it = new_it
+        if restart:
+            state = restart_state(A.vals, A.cols, b, state, dcol, d2)
     y, _, _, gamma, k, phi, by, bphi = state
     # final iterate unless diverged — see cgls
     y_out = jnp.where(phi <= 2.0 * bphi, y, by)

@@ -48,6 +48,10 @@ def main(argv=None):
                     help=">0: cap each CGLS program at this many iterations "
                          "(host sync between chunks; tunneled-TPU crash "
                          "workaround)")
+    ap.add_argument("--cgls_restart", action="store_true",
+                    help="with --cgls_chunk: periodic CGLS restart from the "
+                         "best iterate (robust mode for ill-conditioned "
+                         "stream systems)")
     ap.add_argument("--host_sync", action="store_true",
                     help="round-trip the assembled system through host "
                          "numpy between assemble and solve programs")
@@ -89,7 +93,8 @@ def main(argv=None):
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         time_num=args.time_num, n_spatial_basis=args.n_spatial_basis,
         picard_iters=args.picard_iters, cgls_maxiter=args.cgls_maxiter,
-        cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
+        cgls_chunk=args.cgls_chunk, cgls_restart=args.cgls_restart,
+        host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel

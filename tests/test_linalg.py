@@ -293,3 +293,33 @@ def test_block_sparse_sharded_scaling():
             f"mesh={n}: shard_map body does not see {R // n} local rows"
         assert re.search(r"all_reduce", st), f"mesh={n}: no all_reduce"
     assert flops[8] < 0.25 * flops[1], flops
+
+
+def test_cgls_chunked_restart_converges():
+    """restart=True (periodic exact-residual restart) must still solve a
+    well-posed LS problem to the same solution as plain CGLS, and must not
+    be WORSE on an ill-conditioned one (it exists to bound f32 conjugacy
+    drift on the stream-vortex systems)."""
+    import numpy as np
+
+    from insr_pde_tpu.ops.linalg import PaddedSparse, cgls_sparse_chunked
+
+    rng = np.random.default_rng(0)
+    R, nnz, C = 120, 4, 40
+    cols = np.stack([rng.choice(C, size=nnz, replace=False)
+                     for _ in range(R)]).astype(np.int32)
+    vals = rng.normal(size=(R, nnz)).astype(np.float32)
+    A = PaddedSparse(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                     n_cols=C)
+    x_true = rng.normal(size=(C,)).astype(np.float32)
+    b = A.mv(jnp.asarray(x_true))
+    x0 = jnp.zeros(C)
+    x_plain, _ = cgls_sparse_chunked(A, b, x0, maxiter=400, chunk=50,
+                                     tol=1e-12)
+    x_rs, _ = cgls_sparse_chunked(A, b, x0, maxiter=400, chunk=50,
+                                  tol=1e-12, restart=True)
+    r_plain = float(jnp.linalg.norm(A.mv(x_plain) - b))
+    r_rs = float(jnp.linalg.norm(A.mv(x_rs) - b))
+    nb = float(jnp.linalg.norm(b))
+    assert r_plain < 1e-3 * nb
+    assert r_rs < 1e-3 * nb

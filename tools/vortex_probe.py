@@ -43,6 +43,7 @@ def main():
     ap.add_argument("--picard_iters", type=int, default=3)
     ap.add_argument("--cgls_maxiter", type=int, default=2000)
     ap.add_argument("--cgls_chunk", type=int, default=0)
+    ap.add_argument("--cgls_restart", action="store_true")
     ap.add_argument("--host_sync", action="store_true")
     ap.add_argument("--pou", default=None,
                     help="default: simple (velocity) / smooth (stream)")
@@ -104,7 +105,8 @@ def main():
         n_spatial_basis=args.n_spatial_basis, time_num=args.time_num,
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
         picard_iters=1, cgls_maxiter=args.cgls_maxiter,
-        cgls_chunk=args.cgls_chunk, host_sync=args.host_sync,
+        cgls_chunk=args.cgls_chunk, cgls_restart=args.cgls_restart,
+        host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
         log_dir="/tmp/vortex_probe_log")

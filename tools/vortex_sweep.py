@@ -37,11 +37,22 @@ def log(msg):
 
 
 def measure(model, resolution=64):
-    """(inlet rel err, FD relative divergence) on the sampled grid."""
+    """(inlet rel err, FD relative divergence, per-slice inlet err) on the
+    sampled grid. The per-slice breakdown separates "the smooth time basis
+    cannot jump at the impulsive start" (early slices bad, late slices
+    fine) from a uniform representation failure."""
+    import numpy as _np
+
     from insr_pde_tpu.models.vortex import relative_divergence
-    from tools.vortex_truth import inlet_error
-    return inlet_error(model, resolution), relative_divergence(
-        model, resolution)
+    vals, _ = model.sample_field(resolution)
+    vals = _np.asarray(vals)
+    r = resolution
+    g = vals.reshape(vals.shape[0], r, r, -1)
+    v = model.cfg.internal_v
+    per_slice = _np.mean(_np.abs(g[:, 0, :, 0] - v), axis=1) / max(
+        abs(v), 1e-30)
+    inlet = float(_np.mean(per_slice[1:]))
+    return inlet, relative_divergence(model, resolution), per_slice
 
 
 def run_config(spec: dict, keep_fields: bool = False) -> list[dict]:
@@ -82,11 +93,12 @@ def run_config(spec: dict, keep_fields: bool = False) -> list[dict]:
         model.params = model.params._replace(
             u=jax.numpy.asarray(np.asarray(x, np.float32)).reshape(
                 model.params.u.shape))
-        inlet, rel_div = measure(model, resolution)
+        inlet, rel_div, per_slice = measure(model, resolution)
         blocks = {k: v["rms"] for k, v in model.block_residuals().items()}
         rec = {"name": name, "solver": tag, "formulation": formulation,
                "rows": R, "cols": C, "ratio": round(R / C, 3),
                "inlet": inlet, "rel_div": rel_div,
+               "inlet_per_slice": [round(float(x), 4) for x in per_slice],
                "solve_sec": round(t_solve, 1), "blocks": blocks}
         if extra:
             rec.update(extra)
