@@ -25,6 +25,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -113,12 +114,13 @@ class Solver:
                  debug_nan: bool = False, flatten: bool = True,
                  precision: Optional[str] = None):
         # flatten=True runs Adam/plateau/freeze on ONE raveled param vector
-        # instead of the per-layer pytree. The per-iteration gradient program
-        # is a small fraction of the compiled step at these network sizes
-        # (measured 0.09 ms of 0.68 ms on the paper-scale fluid pressure
-        # phase, COMPARISON.md): the rest is hundreds of tiny per-leaf
-        # optimizer/latch ops, each dispatch-latency-bound on TPU. Raveling
-        # collapses them ~15x. Adam is elementwise, so the math is identical.
+        # instead of the per-layer pytree: fewer HLO ops per scan body and
+        # identical math (Adam is elementwise). Round-3 decomposition
+        # (tools/overhead_probe.py, paper-scale pressure phase on the TPU):
+        # grad program 0.340 ms, +rng 0.342, +adam 0.346, full chunk body
+        # 0.354 ms/iter — in-device overhead beyond the grad is ~4%. The
+        # rest of the wall-clock gap in end-to-end runs is host-side
+        # (between-chunk transfers + metrics IO), not the compiled body.
         self.flatten = flatten
         self.debug_nan = debug_nan
         # per-Solver precision snapshot (None -> process default at trace
@@ -211,8 +213,20 @@ class Solver:
                 # (einsums in diff/elasticity paths); the SIREN chains pass
                 # the per-model knob explicitly (ops/precision.py)
                 with jax.default_matmul_precision(level):
-                    return jax.lax.scan(partial(self._step, aux), state, None,
-                                        length=length)
+                    state, outs = jax.lax.scan(partial(self._step, aux),
+                                               state, None, length=length)
+                # stack the per-iteration scalars into ONE (length, K)
+                # array: device_get of a dict is one host transfer per
+                # leaf, and on the tunneled TPU each transfer is a
+                # ~20-30 ms round trip — measured as the dominant
+                # per-chunk overhead (tools/overhead_probe.py: the full
+                # compiled iteration is 0.354 ms; the old per-leaf
+                # fetches added ~0.5 ms/iter of host time at chunk=1000)
+                keys = sorted(outs)
+                self._out_keys = keys          # trace-time constant
+                stacked = jnp.stack(
+                    [outs[k].astype(jnp.float32) for k in keys], axis=1)
+                return state, stacked
             self._chunk_fns[length] = run_chunk
         return self._chunk_fns[length]
 
@@ -255,10 +269,11 @@ class Solver:
         it = 0
         while it < self.max_n_iters:
             n = min(self.chunk_size, self.max_n_iters - it)
-            state, outs = self._get_chunk_fn(n)(state, aux)
-            outs = jax.tree_util.tree_map(lambda x: jax.device_get(x), outs)
-            active = outs.pop("_active")
-            if self.debug_nan and outs.get("_nan", jnp.zeros(1)).any():
+            state, stacked = self._get_chunk_fn(n)(state, aux)
+            host = np.asarray(jax.device_get(stacked))   # one transfer
+            outs = {k: host[:, i] for i, k in enumerate(self._out_keys)}
+            active = outs.pop("_active") > 0.5
+            if self.debug_nan and (outs.get("_nan", np.zeros(1)) > 0.5).any():
                 import warnings
                 warnings.warn(f"NaN gradients detected in chunk ending at "
                               f"iteration {it + n}")
