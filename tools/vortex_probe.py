@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--precondition", choices=["auto", "on", "off"],
                     default="auto")
     ap.add_argument("--w_bc", type=float, default=None)
+    ap.add_argument("--w_init", type=float, default=1.0)
+    ap.add_argument("--w_momentum", type=float, default=1.0)
+    ap.add_argument("--w_continuity", type=float, default=1.0)
+    ap.add_argument("--cgls_tol", type=float, default=1e-10)
     ap.add_argument("--band_width", type=float, default=None)
     ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value")
@@ -109,6 +113,8 @@ def main():
         host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
+        w_init=args.w_init, w_momentum=args.w_momentum,
+        w_continuity=args.w_continuity, cgls_tol=args.cgls_tol,
         log_dir="/tmp/vortex_probe_log")
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
 
@@ -140,9 +146,17 @@ def main():
     # sample columns
     r = 64
     grid_vals = vals.reshape(vals.shape[0], r, r, -1)
-    inlet_ux = grid_vals[1:, 0, :, 0]        # x-index 0 = left wall column
-    inlet_err = float(np.mean(np.abs(inlet_ux - args.internal_v))
-                      / max(abs(args.internal_v), 1e-30))
+    inlet_ux = grid_vals[:, 0, :, 0]         # x-index 0 = left wall column
+    per_slice = (np.mean(np.abs(inlet_ux - args.internal_v), axis=1)
+                 / max(abs(args.internal_v), 1e-30))
+    inlet_err = float(np.mean(per_slice[1:]))
+
+    # divergence h-refinement: the FD metric carries O(h^2) truncation at
+    # the feature scale; a field with EXACT continuity (stream form) shows
+    # rel_div -> 0 as resolution grows, while a genuinely divergent field
+    # (velocity form round 1: 0.73) converges to its true value.
+    rdiv_refine = {res: relative_divergence(model, res)
+                   for res in (64, 128, 256)}
 
     # stream formulation: continuity is analytic — measure it directly at
     # random interior space-time points (mixed-Hessian antisymmetry)
@@ -163,6 +177,10 @@ def main():
         f"{rdiv:.3e}"
         + (f", analytic {adiv:.3e}" if adiv is not None else "")
         + f", inlet rel err {inlet_err:.3e}, max |u| {umax:.3f}")
+    log(f"  inlet per slice: "
+        + " ".join(f"{e:.3f}" for e in per_slice))
+    log(f"  rel_div vs eval resolution: "
+        + " ".join(f"{res}:{v:.3e}" for res, v in rdiv_refine.items()))
     for name, d in model.block_residuals().items():
         log(f"  block {name:12s} rms {d['rms']:.3e}  (rhs {d['rhs_rms']:.3e})")
     log("ALL STAGES OK")
