@@ -49,6 +49,27 @@ class RBFConfig:
     seed: int = 213421
     pou_width: float = 0.0     # spatial PoU support; 0 = band_width
                                # (for 'hat' space PoU set ~ the grid spacing)
+    # Shepard-normalize the combined PoU weights: w_k -> w_k / sum_k w_k
+    # (with the full quotient-rule derivative chain). The site grid stops
+    # half a spacing inside the domain (init_rbf cell centers), so in the
+    # outer strips — exactly where every boundary/inlet row lives — the
+    # hat/smooth PoU sums to < 1 and even a field all sites agree on gets
+    # scaled by the deficient sum. Normalization restores an EXACT
+    # partition of unity everywhere (a no-op in the interior at matched
+    # spacing). Off by default (reference parity; and it would couple the
+    # two slices an overlapping indicator time-PoU intentionally keeps
+    # independent). Ignored when both PoUs are 'simple'.
+    pou_normalize: bool = False
+    # Per-site polynomial tail appended to the J sigmoid features (0 = off,
+    # 1 = {1, x, y, .., t}, 2 = + all space-time quadratics). Standard
+    # RBF-FD augmentation: with it, global polynomials of that degree lie
+    # EXACTLY in the span (each site can carry the same global polynomial,
+    # so K-window switches cancel identically), which random sigmoid
+    # features only approximate — measured as the binding constraint on the
+    # channel scene, whose true solution psi = v*(y+1) is linear
+    # (COMPARISON.md round 3). The reference has no counterpart
+    # (base/networks.py:252-255 draws pure random features).
+    poly: int = 0
 
     @property
     def spatial_spacing(self) -> float:
@@ -76,8 +97,21 @@ class RBFConfig:
         return self.time_length / max(self.time_num - 1, 1)
 
     @property
+    def n_poly(self) -> int:
+        if self.poly <= 0:
+            return 0
+        n = 1 + self.dim + 1                      # 1, x_a, t
+        if self.poly >= 2:
+            n += self.dim * (self.dim + 1) // 2 + self.dim + 1
+        return n
+
+    @property
+    def n_feat_total(self) -> int:
+        return self.n_feat + self.n_poly
+
+    @property
     def n_coeffs(self) -> int:
-        return self.n_sites * self.n_vars * self.n_feat
+        return self.n_sites * self.n_vars * self.n_feat_total
 
 
 class RBFParams(NamedTuple):
@@ -108,7 +142,7 @@ def init_rbf(cfg: RBFConfig, key: jax.Array) -> RBFParams:
         A=jax.random.normal(kA, shape + (cfg.dim,)),
         tA=jax.random.normal(kt, shape),
         bias=jax.random.normal(kb, shape),
-        u=jax.random.normal(ku, shape),
+        u=jax.random.normal(ku, (S, cfg.n_vars, cfg.n_feat_total)),
     )
 
 
@@ -211,6 +245,100 @@ _POU_FNS = {
     "smooth": (pou_smooth, pou_smooth_grad, pou_smooth_hess),
     "smooth2": (pou_smooth2, pou_smooth2_grad, pou_smooth2_hess),
 }
+
+
+def _poly_terms(dim: int, degree: int) -> list[tuple[tuple, int]]:
+    """Monomial exponent tuples ((ex_0..ex_{D-1}), et) for the degree-
+    `degree` polynomial tail in the site-local coordinates (x_rel, t_rel)."""
+    terms = [((0,) * dim, 0)]
+    if degree >= 1:
+        for a in range(dim):
+            e = [0] * dim
+            e[a] = 1
+            terms.append((tuple(e), 0))
+        terms.append(((0,) * dim, 1))
+    if degree >= 2:
+        for a in range(dim):
+            for b in range(a, dim):
+                e = [0] * dim
+                e[a] += 1
+                e[b] += 1
+                terms.append((tuple(e), 0))
+        for a in range(dim):
+            e = [0] * dim
+            e[a] = 1
+            terms.append((tuple(e), 1))
+        terms.append(((0,) * dim, 2))
+    return terms
+
+
+def _poly_block(x_rel: jax.Array, t_rel: jax.Array, bw: float, tbw: float,
+                degree: int, second: bool):
+    """Polynomial tail features and analytic derivatives in PHYSICAL
+    coordinates (d x_rel / dx = 1/bw, d t_rel / dt = 1/tbw).
+
+    Returns (phi (Q,K,P), dx (Q,K,P,D), dt (Q,K,P), dxx_diag (Q,K,P,D),
+    dxx_full (Q,K,P,D,D) | None, dxt (Q,K,P,D) | None)."""
+    dim = x_rel.shape[-1]
+    terms = _poly_terms(dim, degree)
+
+    def mono(ex, et):
+        v = jnp.ones(t_rel.shape, x_rel.dtype)
+        for d, e in enumerate(ex):
+            if e:
+                v = v * (x_rel[..., d] ** e if e > 1 else x_rel[..., d])
+        if et:
+            v = v * (t_rel ** et if et > 1 else t_rel)
+        return v
+
+    def d_dx(ex, et, a):
+        if ex[a] == 0:
+            return None
+        e2 = list(ex)
+        e2[a] -= 1
+        return (ex[a] / bw), (tuple(e2), et)
+
+    zeros = jnp.zeros(t_rel.shape, x_rel.dtype)
+    phi = jnp.stack([mono(ex, et) for ex, et in terms], axis=-1)
+    dx = jnp.stack(
+        [jnp.stack([(lambda r: zeros if r is None else r[0] * mono(*r[1]))(
+            d_dx(ex, et, a)) for a in range(dim)], axis=-1)
+         for ex, et in terms], axis=-2)
+    dt = jnp.stack(
+        [zeros if et == 0 else (et / tbw) * mono(ex, et - 1)
+         for ex, et in terms], axis=-1)
+
+    def d2_dx(ex, et, a, b):
+        r1 = d_dx(ex, et, a)
+        if r1 is None:
+            return zeros
+        c1, (ex1, et1) = r1
+        r2 = d_dx(ex1, et1, b)
+        if r2 is None:
+            return zeros
+        c2, (ex2, et2) = r2
+        return c1 * c2 * mono(ex2, et2)
+
+    dxx_diag = jnp.stack(
+        [jnp.stack([d2_dx(ex, et, a, a) for a in range(dim)], axis=-1)
+         for ex, et in terms], axis=-2)
+    dxx_full = dxt = None
+    if second:
+        dxx_full = jnp.stack(
+            [jnp.stack([jnp.stack([d2_dx(ex, et, a, b) for b in range(dim)],
+                                  axis=-1) for a in range(dim)], axis=-2)
+             for ex, et in terms], axis=-3)
+        def d2_dxdt(ex, et, a):
+            r = d_dx(ex, et, a)
+            if r is None or et == 0:
+                return zeros
+            c1, (ex1, et1) = r
+            return c1 * (et1 / tbw) * mono(ex1, et1 - 1)
+
+        dxt = jnp.stack(
+            [jnp.stack([d2_dxdt(ex, et, a) for a in range(dim)], axis=-1)
+             for ex, et in terms], axis=-2)
+    return phi, dx, dt, dxx_diag, dxx_full, dxt
 
 
 class PointBasis(NamedTuple):
@@ -332,9 +460,60 @@ def point_basis(cfg: RBFConfig, p: RBFParams, x: jax.Array, t: jax.Array,
         dxt = sig2[..., None] * A_bw * (tA / tbw)[..., None]
         dwdx2 = dxx_w * t_w[..., None, None]
         dwdxdt = dx_w * dt_w[..., None]
+
+    if cfg.poly > 0:
+        # polynomial tail appended on the J axis, identical across E (each
+        # variable keeps its own coefficients in u)
+        E = phi.shape[2]
+
+        def bcast(a):
+            return jnp.broadcast_to(a[:, :, None],
+                                    a.shape[:2] + (E,) + a.shape[2:])
+
+        p_phi, p_dx, p_dt, p_dxx, p_full, p_dxt = _poly_block(
+            x_rel, t_rel, bw, tbw, cfg.poly, second)
+        phi = jnp.concatenate([phi, bcast(p_phi)], axis=3)
+        dx = jnp.concatenate([dx, bcast(p_dx)], axis=3)
+        dt = jnp.concatenate([dt, bcast(p_dt)], axis=3)
+        dxx = jnp.concatenate([dxx, bcast(p_dxx)], axis=3)
+        if second:
+            dxx_full = jnp.concatenate([dxx_full, bcast(p_full)], axis=3)
+            dxt = jnp.concatenate([dxt, bcast(p_dxt)], axis=3)
+    w = x_w * t_w                                      # (Q, K)
+    dwdt = x_w * dt_w                                  # (Q, K)
+    dwdx = dx_w * t_w[..., None]                       # (Q, K, D)
+
+    if cfg.pou_normalize and (space_pou != "simple" or time_pou != "simple"):
+        # Shepard normalization: w_hat = w / W, W = sum_k w_k, with the
+        # quotient-rule chain through every tracked derivative. Interior
+        # points at matched spacing have W = 1 and all W-derivatives 0, so
+        # this only changes the half-spacing edge strips (see RBFConfig).
+        W = jnp.sum(w, axis=1, keepdims=True)          # (Q, 1)
+        iW = 1.0 / jnp.maximum(W, 1e-12)
+        Wx = jnp.sum(dwdx, axis=1, keepdims=True)      # (Q, 1, D)
+        Wt = jnp.sum(dwdt, axis=1, keepdims=True)      # (Q, 1)
+        iW2 = iW * iW
+        if second:
+            Wxx = jnp.sum(dwdx2, axis=1, keepdims=True)    # (Q, 1, D, D)
+            Wxt = jnp.sum(dwdxdt, axis=1, keepdims=True)   # (Q, 1, D)
+            iW3 = iW2 * iW
+            dwdx2 = (dwdx2 * iW[..., None, None]
+                     - (dwdx[..., :, None] * Wx[..., None, :]
+                        + dwdx[..., None, :] * Wx[..., :, None]
+                        + w[..., None, None] * Wxx) * iW2[..., None, None]
+                     + 2.0 * w[..., None, None]
+                     * (Wx[..., :, None] * Wx[..., None, :])
+                     * iW3[..., None, None])
+            dwdxdt = (dwdxdt * iW[..., None]
+                      - (dwdx * Wt[..., None] + dwdt[..., None] * Wx
+                         + w[..., None] * Wxt) * iW2[..., None]
+                      + 2.0 * (w * Wt)[..., None] * Wx * iW3[..., None])
+        dwdx = dwdx * iW[..., None] - (w * iW2)[..., None] * Wx
+        dwdt = dwdt * iW - w * Wt * iW2
+        w = w * iW
+
     return PointBasis(phi=phi, dx=dx, dt=dt, dxx=dxx,
-                      w=x_w * t_w, dwdt=x_w * dt_w,
-                      dwdx=dx_w * t_w[..., None], idx=idx,
+                      w=w, dwdt=dwdt, dwdx=dwdx, idx=idx,
                       dxx_full=dxx_full, dxt=dxt,
                       dwdx2=dwdx2, dwdxdt=dwdxdt)
 
@@ -431,7 +610,7 @@ def column_ids(cfg: RBFConfig, idx: jax.Array, var: int) -> jax.Array:
     (Reference idx_box / expand_idx bookkeeping, base/networks.py:256,
     vortex/model.py:270-292.)
     """
-    E, J = cfg.n_vars, cfg.n_feat
+    E, J = cfg.n_vars, cfg.n_feat_total
     base = (idx * E + var) * J                        # (Q, K)
     return (base[:, :, None] + jnp.arange(J)[None, None, :]).reshape(
         idx.shape[0], -1)

@@ -41,8 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.linalg import (BlockSparse, cg_batch, cgls_sparse,
-                          cgls_sparse_chunked, cgls_sparse_sharded)
+from ..ops.linalg import (BlockSparse, cg_batch, cgls_block_precond,
+                          cgls_sparse, cgls_sparse_chunked,
+                          cgls_sparse_sharded)
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, basis_dt, basis_dx, basis_dxdt, basis_hess,
@@ -78,8 +79,11 @@ class VortexConfig:
     # "auto" = precondition iff undamped (round-1 behavior); "on" combines
     # Jacobi column scaling WITH damping — the damp then penalizes the
     # well-scaled variable, suppressing the near-null-column amplification
-    # that blows up solution amplitude at reference scale
-    cgls_precondition: str = "auto"   # auto | on | off
+    # that blows up solution amplitude at reference scale. "block" = the
+    # per-site-block eigen-whitener (ops/linalg.block_whitener): whitens
+    # the near-collinear sigmoid features of each site, the round-3 fix
+    # for CGLS/LSQR stalling far from the LS optimum on stream systems.
+    cgls_precondition: str = "auto"   # auto | on | off | block
     # >0: run CGLS as repeated fixed-size chunk programs with host sync
     # between them instead of one long while_loop program (bit-identical
     # iterates; bounds single-program size/duration on fragile backends —
@@ -133,6 +137,25 @@ class VortexConfig:
     w_continuity: float = 1.0
     w_bc: float = 1.0          # free-slip / outlet / inlet rows
     w_init: float = 1.0
+    # time-axis PoU override ("" = same as `pou`). "simple" (indicator)
+    # time windows allow DISCONTINUOUS-in-time representation between
+    # slices — the natural treatment of the reference scene's impulsive
+    # start (the flow may jump at t=0+ at no momentum-residual cost),
+    # while `pou`="smooth" keeps the SPACE axis C1 for the stream form's
+    # derivative velocity.
+    pou_time: str = ""
+    # Shepard-normalize the PoU weights (rbf.RBFConfig.pou_normalize):
+    # restores an exact partition of unity in the half-spacing edge strips
+    # where the site grid under-covers the domain — exactly where the
+    # boundary/inlet rows live. Off = reference parity.
+    pou_normalize: bool = False
+    # per-site polynomial feature tail (rbf.RBFConfig.poly): 0 = off
+    # (reference parity — pure random sigmoid features), 1 = append
+    # {1, x, y, t}, 2 = + quadratics. With poly >= 1 the channel scene's
+    # true solution (uniform flow; psi = v*(y+1) linear) lies EXACTLY in
+    # the basis span — measured round 3 as the binding constraint on the
+    # stream form's inlet accuracy.
+    poly: int = 0
 
 
 class SpaceTimePoints(NamedTuple):
@@ -224,7 +247,8 @@ class VortexModel:
             dim=cfg.dim, n_vars=cfg.n_variables, n_feat=cfg.n_feat,
             n_spatial_basis=cfg.n_spatial_basis, time_num=cfg.time_num,
             time_length=cfg.time_length, band_width=cfg.band_width,
-            neighbor_k=cfg.neighbor_k, seed=cfg.seed,
+            neighbor_k=cfg.neighbor_k, seed=cfg.seed, poly=cfg.poly,
+            pou_normalize=cfg.pou_normalize,
             pou_width=(tmp.spatial_spacing
                        if cfg.pou in ("hat", "smooth", "smooth2") else 0.0))
         # sites gathered per point (hat/smooth modes couple `time_window`
@@ -249,7 +273,7 @@ class VortexModel:
             idx = structured_spacetime_idx(self.rbf_cfg, params, x, t,
                                            self.cfg.time_window)
             return point_basis(self.rbf_cfg, params, x, t, idx=idx,
-                               time_pou=self.cfg.pou,
+                               time_pou=self.cfg.pou_time or self.cfg.pou,
                                space_pou=self.cfg.pou, second=second)
         return point_basis(self.rbf_cfg, params, x, t, second=second)
 
@@ -429,8 +453,13 @@ class VortexModel:
         compiles far faster there)."""
         cfg = self.cfg
         n_blocks = self.rbf_cfg.n_sites * self.rbf_cfg.n_vars
-        precond = {"auto": cfg.cgls_damp == 0.0,
-                   "on": True, "off": False}[cfg.cgls_precondition]
+        # "block" = per-site-block eigen-whitener (ops/linalg.block_whitener)
+        # — the round-3 conditioning fix: plain column scaling left every
+        # solver (f32 CGLS and f64 LSQR alike) stalled far from the LS
+        # optimum on the stream systems
+        precond = ("block" if cfg.cgls_precondition == "block" else
+                   {"auto": cfg.cgls_damp == 0.0,
+                    "on": True, "off": False}[cfg.cgls_precondition])
 
         if not hasattr(self, "_solver_jits"):
             self._solver_jits = {}
@@ -448,6 +477,12 @@ class VortexModel:
                     X, info = cg_batch(normal, A.rmv(b)[None, :, None],
                                        rtol=1e-6, maxiter=cfg.cgls_maxiter)
                     x, niter = X[0, :, 0], info["niter"]
+                elif precond == "block":
+                    x, info = cgls_block_precond(A, b, x0,
+                                                 maxiter=cfg.cgls_maxiter,
+                                                 tol=cfg.cgls_tol,
+                                                 damp=cfg.cgls_damp)
+                    niter = info["niter"]
                 else:
                     x, info = cgls_sparse(A, b, x0,
                                           maxiter=cfg.cgls_maxiter,
@@ -694,7 +729,8 @@ class StreamVortexModel(VortexModel):
         self.left_t = self.pts.left[self.pts.left >= per_slice]
 
     def _point_basis_idx(self, params, x, t, idx, second=False):
-        pous = (dict(time_pou=self.cfg.pou, space_pou=self.cfg.pou)
+        pous = (dict(time_pou=self.cfg.pou_time or self.cfg.pou,
+                     space_pou=self.cfg.pou)
                 if self.cfg.pou in ("hat", "smooth", "smooth2") else {})
         return point_basis(self.rbf_cfg, params, x, t, idx=idx,
                            second=second, **pous)

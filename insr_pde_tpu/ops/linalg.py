@@ -179,6 +179,68 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
                    "best_phi": st.best_phi}
 
 
+# ------------------------------------------------------ block preconditioner
+
+
+def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int) -> jax.Array:
+    """Per-block-column Gram blocks of a BlockSparse operator:
+    G[b] = sum over (row, slot) pairs addressing block b of
+    vals[r,s,:] vals[r,s,:]^T — the (J, J) diagonal blocks of AᵀA."""
+    J = vals.shape[-1]
+    outer = jnp.einsum("rsi,rsj->rsij", vals, vals).reshape(-1, J, J)
+    return jax.ops.segment_sum(outer, cols.reshape(-1),
+                               num_segments=n_blocks)
+
+
+def block_whitener(vals: jax.Array, cols: jax.Array, n_blocks: int,
+                   eig_floor: float = 1e-6) -> jax.Array:
+    """Symmetric per-block whitener W[b] = V diag(1/sqrt(clip(w))) Vᵀ from
+    the eigendecomposition of the per-block Grams G[b] (the (J, J)
+    diagonal blocks of AᵀA).
+
+    Right-preconditioning with W makes the columns of B = A W orthonormal
+    WITHIN each site-var block (block-Jacobi on the normal equations). The
+    RBF assembly's sigmoid features of one site are nearly collinear —
+    measured as the dominant conditioning pathology: every iterative
+    solver (f32 CGLS, f64 LSQR at 15k iterations) stalled at the same
+    far-from-optimal iterate under plain column scaling (COMPARISON.md
+    round 3). Eigenvalues below eig_floor * max(w_b) are clipped (their
+    directions are left unscaled relative to the block's strongest —
+    pseudo-whitening, robust where f32 Cholesky breaks down); empty
+    blocks get W = I.
+    """
+    G = block_gram(vals, cols, n_blocks)
+    w, V = jnp.linalg.eigh(G)                             # (B, J), (B, J, J)
+    wmax = jnp.maximum(w[:, -1:], 0.0)
+    scale = jax.lax.rsqrt(jnp.maximum(w, eig_floor * wmax))
+    empty = (wmax[:, 0] <= 0.0)
+    W = jnp.einsum("bij,bj,bkj->bik", V, scale, V)
+    eye = jnp.eye(G.shape[-1], dtype=vals.dtype)
+    return jnp.where(empty[:, None, None], eye, W)
+
+
+def _block_apply(W: jax.Array, y: jax.Array) -> jax.Array:
+    """x = W y per block; y flat (n_blocks * J,)."""
+    return jnp.einsum("bij,bj->bi", W,
+                      y.reshape(W.shape[0], -1)).reshape(-1)
+
+
+def cgls_block_precond(A, b: jax.Array, x0: jax.Array,
+                       maxiter: int = 500, tol: float = 1e-8,
+                       damp: float = 0.0, eig_floor: float = 1e-6):
+    """CGLS on the block-whitened system B = A W (see block_whitener);
+    returns x = W y in the original variable. `damp` regularizes the
+    whitened variable y. W is symmetric, so Bᵀ r = W (Aᵀ r)."""
+    W = block_whitener(A.vals, A.cols, A.n_blocks, eig_floor)
+    # y0 solves W y0 = x0; for x0 = 0 (the production cold start) y0 = 0 —
+    # avoid a per-call batched solve for the general case nobody uses
+    y0 = jnp.zeros_like(x0)
+    x, info = cgls(lambda y: A.mv(_block_apply(W, y)),
+                   lambda r: _block_apply(W, A.rmv(r)),
+                   b, y0, maxiter=maxiter, tol=tol, damp=damp)
+    return _block_apply(W, x), info
+
+
 # --------------------------------------------------------------- sparse op
 
 
@@ -282,30 +344,45 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
 
 
 def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
-    """Build the (init, run_chunk) jitted chunk programs for
+    """Build the (init, run_chunk, restart_state) jitted chunk programs for
     `cgls_sparse_chunked`. Cached at module level (see `_CHUNKED_CACHE`) so
     repeat solves — e.g. one per Picard iteration per timestep — hit the jit
     cache instead of retracing fresh closures every call (~minutes per
     compile on the tunneled TPU). `damp²` is an array argument, not a trace
-    constant, so sweeping damp reuses the same programs."""
+    constant, so sweeping damp reuses the same programs.
+
+    `precondition`: False/True ("jacobi" column scaling) or "block" (the
+    per-site-block eigen-whitener, BlockSparse only — see block_whitener).
+    In block mode the "dcol" slot of the state carries W (n_blocks, J, J)
+    and the scaled variable is y with x = W y (W symmetric)."""
     mk = lambda vals, cols: op_cls(vals, cols, static_field)
+    block_mode = precondition == "block"
+
+    def apply_p(P, v):
+        return _block_apply(P, v) if block_mode else P * v
 
     @jax.jit
     def init(vals, cols, b, x0, d2):
         Aop = mk(vals, cols)
-        if precondition:
-            dcol = Aop.col_norms()
+        if block_mode:
+            P = block_whitener(vals, cols, static_field)
+            # y0 solves W y0 = x0 (W symmetric PD by construction)
+            y0 = jnp.linalg.solve(
+                P, x0.reshape(static_field, -1)[..., None])[..., 0].reshape(-1)
+        elif precondition:
+            P = Aop.col_norms()
             # relative cutoff — see cgls_sparse
-            dcol = jnp.where(dcol > 1e-6 * jnp.max(dcol), 1.0 / dcol, 0.0)
+            P = jnp.where(P > 1e-6 * jnp.max(P), 1.0 / P, 0.0)
+            y0 = x0 / jnp.where(P == 0, 1.0, P)
         else:
-            dcol = jnp.ones((Aop.n_cols,), vals.dtype)
-        y0 = x0 / jnp.where(dcol == 0, 1.0, dcol)
-        r0 = b - Aop.mv(dcol * y0)
-        s0 = dcol * Aop.rmv(r0) - d2 * y0
+            P = jnp.ones((Aop.n_cols,), vals.dtype)
+            y0 = x0
+        r0 = b - Aop.mv(apply_p(P, y0))
+        s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
         gamma0 = jnp.sum(s0 * s0)
         phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
         return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
-                phi0, y0, phi0), dcol
+                phi0, y0, phi0), P
 
     @jax.jit
     def restart_state(vals, cols, b, state, dcol, d2):
@@ -317,8 +394,8 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
         Aop = mk(vals, cols)
         y, r, p, gamma, k, phi, by, bphi = state
         y = jnp.where(phi <= bphi, y, by)   # continue from the best point
-        r = b - Aop.mv(dcol * y)
-        s = dcol * Aop.rmv(r) - d2 * y
+        r = b - Aop.mv(apply_p(dcol, y))
+        s = apply_p(dcol, Aop.rmv(r)) - d2 * y
         gamma = jnp.sum(s * s)
         phi = jnp.sum(r * r) + d2 * jnp.sum(y * y)
         better = phi < bphi
@@ -337,12 +414,12 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
 
         def step(st):
             y, r, p, gamma, k, phi, by, bphi, j = st
-            q = Aop.mv(dcol * p)
+            q = Aop.mv(apply_p(dcol, p))
             denom = jnp.sum(q * q) + d2 * jnp.sum(p * p)
             alpha = gamma / jnp.where(denom == 0, 1e-30, denom)
             y = y + alpha * p
             r = r - alpha * q
-            s = dcol * Aop.rmv(r) - d2 * y
+            s = apply_p(dcol, Aop.rmv(r)) - d2 * y
             gamma_new = jnp.sum(s * s)
             beta = gamma_new / jnp.where(gamma == 0, 1e-30, gamma)
             p = s + beta * p
@@ -393,7 +470,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     # n_cols (PaddedSparse) / n_blocks (BlockSparse); a jit-built operator
     # carries it as a (weakly-typed) array leaf — coerce to a hashable int
     static_field = int(A[-1])
-    key = (type(A), static_field, bool(precondition), int(chunk),
+    key = (type(A), static_field, precondition, int(chunk),
            int(maxiter))
     if key not in _CHUNKED_CACHE:
         _CHUNKED_CACHE[key] = _chunked_cgls_fns(*key)
@@ -416,7 +493,11 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     y, _, _, gamma, k, phi, by, bphi = state
     # final iterate unless diverged — see cgls
     y_out = jnp.where(phi <= 2.0 * bphi, y, by)
-    return dcol * y_out, {"niter": k, "resnorm": jnp.sqrt(gamma)}
+    if precondition == "block":
+        x_out = _block_apply(dcol, y_out)
+    else:
+        x_out = dcol * y_out
+    return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma)}
 
 
 def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,

@@ -466,3 +466,90 @@ def test_stream_bc_both_layout_and_solve():
     # basis cannot satisfy every block, so this is the scale-appropriate
     # check; the at-scale quality bar lives in COMPARISON.md
     assert blocks["inlet_u"]["rms"] < blocks["inlet_u"]["rhs_rms"]
+
+
+def test_poly_tail_derivatives_match_autodiff():
+    """The per-site polynomial tail (RBFConfig.poly, RBF-FD augmentation)
+    must carry the same analytic first/second derivative chain as the
+    sigmoid features, for both degrees and with PoU product-rule terms."""
+    from insr_pde_tpu.models.rbf import (field_dxdt, field_hess,
+                                         structured_spacetime_idx)
+    for degree, norm in ((1, False), (2, True)):
+        cfg = RBFConfig(dim=2, n_vars=2, n_feat=3, n_spatial_basis=25,
+                        time_num=4, band_width=1.0, neighbor_k=4, seed=0,
+                        pou_width=2.0 / 5, poly=degree, pou_normalize=norm)
+        assert cfg.n_feat_total == cfg.n_feat + cfg.n_poly
+        p = init_rbf(cfg, jax.random.PRNGKey(0))
+        assert p.u.shape == (cfg.n_sites, 2, cfg.n_feat_total)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (6, 2), minval=-0.9,
+                               maxval=0.9)
+        t = jax.random.uniform(jax.random.PRNGKey(2), (6,), minval=0.05,
+                               maxval=0.95)
+        idx = structured_spacetime_idx(cfg, p, x, t, 2)
+        pb2 = point_basis(cfg, p, x, t, idx=idx, time_pou="smooth",
+                          space_pou="smooth", second=True)
+
+        def val(xi, ti, ir):
+            pb = point_basis(cfg, p, xi[None], ti[None], idx=ir[None],
+                             time_pou="smooth", space_pou="smooth")
+            return field_value(pb, p.u)[0]
+
+        jac_auto = jax.vmap(lambda a, b, c: jax.jacfwd(val)(a, b, c))(
+            x, t, idx)
+        np.testing.assert_allclose(np.asarray(jac_auto),
+                                   np.asarray(field_grad(pb2, p.u)),
+                                   atol=1e-4, err_msg=f"poly={degree}")
+        dt_auto = jax.vmap(
+            lambda a, b, c: jax.jacfwd(val, argnums=1)(a, b, c))(x, t, idx)
+        np.testing.assert_allclose(np.asarray(dt_auto),
+                                   np.asarray(field_dt(pb2, p.u)),
+                                   atol=1e-4, err_msg=f"poly={degree}")
+        H_auto = jax.vmap(
+            lambda a, b, c: jax.jacfwd(jax.jacfwd(val))(a, b, c))(x, t, idx)
+        np.testing.assert_allclose(np.asarray(H_auto),
+                                   np.asarray(field_hess(pb2, p.u)),
+                                   atol=1e-3, err_msg=f"poly={degree}")
+        XT_auto = jax.vmap(lambda a, b, c: jax.jacfwd(
+            lambda ti: jax.jacfwd(val)(a, ti, c))(b))(x, t, idx)
+        np.testing.assert_allclose(np.asarray(XT_auto),
+                                   np.asarray(field_dxdt(pb2, p.u)),
+                                   atol=1e-3, err_msg=f"poly={degree}")
+
+
+def test_poly_tail_represents_linear_exactly():
+    """With poly>=1 AND Shepard-normalized PoU weights a globally-linear
+    field lies EXACTLY in the span everywhere (including the half-spacing
+    edge strips the site grid under-covers): set each site's tail
+    coefficients to the same global polynomial and the normalized
+    partition of unity makes window switches cancel identically — the
+    property that motivates the augmentation (the channel scene's true
+    stream function is linear, and its inlet rows live in the edge
+    strips)."""
+    from insr_pde_tpu.models.rbf import structured_spacetime_idx
+    cfg = RBFConfig(dim=2, n_vars=1, n_feat=3, n_spatial_basis=25,
+                    time_num=4, band_width=1.0, neighbor_k=4, seed=0,
+                    pou_width=2.0 / 5, poly=1, pou_normalize=True)
+    p = init_rbf(cfg, jax.random.PRNGKey(0))
+    # target f(x, y, t) = 2 + 3y. Tail features are SITE-LOCAL monomials
+    # ((x - c)/bw etc.), so per-site coefficients differ: f = (2 + 3 c_y)
+    # * 1 + (3 * bw) * y_rel.
+    u = np.zeros((cfg.n_sites, 1, cfg.n_feat_total), np.float32)
+    cy = np.asarray(p.centers)[:, 1]
+    u[:, 0, cfg.n_feat + 0] = 2.0 + 3.0 * cy          # constant term
+    u[:, 0, cfg.n_feat + 2] = 3.0 * cfg.band_width    # y_rel term
+    u = jnp.asarray(u)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (50, 2), minval=-0.95,
+                           maxval=0.95)
+    t = jax.random.uniform(jax.random.PRNGKey(2), (50,), minval=0.0,
+                           maxval=1.0)
+    for pou in ("smooth", "smooth2"):
+        idx = structured_spacetime_idx(cfg, p, x, t, 2)
+        pb = point_basis(cfg, p, x, t, idx=idx, time_pou=pou, space_pou=pou)
+        vals = field_value(pb, u)[:, 0]
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.asarray(2.0 + 3.0 * x[:, 1]),
+                                   atol=1e-5, err_msg=pou)
+        g = field_grad(pb, u)[:, 0]
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.tile([0.0, 3.0], (50, 1)),
+                                   atol=1e-4, err_msg=pou)

@@ -376,6 +376,12 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--cache_dir", type=str, default=None,
+                    help="cache each side's field outputs to npz keyed by "
+                         "(pde, side, T, iters, sr, seed) so a killed run "
+                         "resumes without repeating the finished side (the "
+                         "torch elasticity3d side alone is ~4 h on this "
+                         "host's single core)")
     args = ap.parse_args()
 
     if args.init_cond is None:
@@ -405,12 +411,28 @@ def main():
     if args.seeds is not None:
         return seed_study(args)
 
+    def cached(side, fn, tmp):
+        if not args.cache_dir:
+            return fn(args, tmp)
+        os.makedirs(args.cache_dir, exist_ok=True)
+        key = (f"{args.pde}_{side}_T{args.n_timesteps}"
+               f"_it{args.max_n_iters}_sr{args.sample_resolution}"
+               f"_seed{args.seed}")
+        path = os.path.join(args.cache_dir, key + ".npz")
+        if os.path.exists(path):
+            print(f"  ({side}: cached, {path})", file=sys.stderr)
+            d = np.load(path)
+            return [d[f"a{i}"] for i in range(len(d.files))]
+        out = fn(args, tmp)
+        np.savez(path, **{f"a{i}": np.asarray(a) for i, a in enumerate(out)})
+        return out
+
     with tempfile.TemporaryDirectory() as tmp:
         print(f"running reference ({args.pde}, torch CPU)...",
               file=sys.stderr)
-        ref = run_reference(args, tmp)
+        ref = cached("ref", run_reference, tmp)
         print("running insr_pde_tpu...", file=sys.stderr)
-        ours = run_ours(args, tmp)
+        ours = cached("ours", run_ours, tmp)
 
     if args.pde == "elasticity3d":
         # the trailing element is the normalized vertex array from each side

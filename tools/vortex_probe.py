@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--internal_v", type=float, default=8.0)
     ap.add_argument("--damp", type=float, default=None,
                     help="override cgls_damp (default: formulation preset)")
-    ap.add_argument("--precondition", choices=["auto", "on", "off"],
+    ap.add_argument("--precondition", choices=["auto", "on", "off", "block"],
                     default="auto")
     ap.add_argument("--w_bc", type=float, default=None)
     ap.add_argument("--w_init", type=float, default=1.0)
@@ -62,6 +62,19 @@ def main():
     ap.add_argument("--w_continuity", type=float, default=1.0)
     ap.add_argument("--cgls_tol", type=float, default=1e-10)
     ap.add_argument("--band_width", type=float, default=None)
+    ap.add_argument("--pou_time", default="",
+                    help="time-axis PoU override ('' = same as --pou); "
+                         "'simple' permits discontinuous-in-time slices "
+                         "(impulsive starts)")
+    ap.add_argument("--time_window", type=int, default=None,
+                    help="slices coupled per query (1 = per-slice "
+                         "decoupling)")
+    ap.add_argument("--poly", type=int, default=0,
+                    help="per-site polynomial tail degree (RBF-FD "
+                         "augmentation; 0 = reference parity)")
+    ap.add_argument("--pou_normalize", action="store_true",
+                    help="Shepard-normalize PoU weights (exact partition "
+                         "of unity in the boundary strips)")
     ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value")
     ap.add_argument("--platform", default=None)
@@ -112,6 +125,10 @@ def main():
         cgls_chunk=args.cgls_chunk, cgls_restart=args.cgls_restart,
         host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
+        pou_time=args.pou_time, poly=args.poly,
+        pou_normalize=args.pou_normalize,
+        **({"time_window": args.time_window}
+           if args.time_window is not None else {}),
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
         w_init=args.w_init, w_momentum=args.w_momentum,
         w_continuity=args.w_continuity, cgls_tol=args.cgls_tol,
