@@ -477,12 +477,6 @@ class VortexModel:
                     X, info = cg_batch(normal, A.rmv(b)[None, :, None],
                                        rtol=1e-6, maxiter=cfg.cgls_maxiter)
                     x, niter = X[0, :, 0], info["niter"]
-                elif precond == "block":
-                    x, info = cgls_block_precond(A, b, x0,
-                                                 maxiter=cfg.cgls_maxiter,
-                                                 tol=cfg.cgls_tol,
-                                                 damp=cfg.cgls_damp)
-                    niter = info["niter"]
                 else:
                     x, info = cgls_sparse(A, b, x0,
                                           maxiter=cfg.cgls_maxiter,
@@ -494,13 +488,26 @@ class VortexModel:
                 return x, res, niter
 
             @jax.jit
+            def solve_block_jit(vals, cols, b, x0, W):
+                # W from block_whitener_host, computed OUTSIDE jit (TPU f32
+                # eigh is unusable on these Gram spectra — ops/linalg)
+                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
+                x, info = cgls_block_precond(A, b, x0,
+                                             maxiter=cfg.cgls_maxiter,
+                                             tol=cfg.cgls_tol,
+                                             damp=cfg.cgls_damp, W=W)
+                res = jnp.linalg.norm(A.mv(x) - b)
+                return x, res, info["niter"]
+
+            @jax.jit
             def residual_jit(vals, cols, b, x):
                 A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
                 return jnp.linalg.norm(A.mv(x) - b)
 
             self._solver_jits[solver] = (assemble_jit, solve_jit,
-                                         residual_jit)
-        assemble_jit, solve_jit, residual_jit = self._solver_jits[solver]
+                                         solve_block_jit, residual_jit)
+        (assemble_jit, solve_jit, solve_block_jit,
+         residual_jit) = self._solver_jits[solver]
 
         if cfg.picard_iters < 1:
             raise ValueError(f"picard_iters must be >= 1, got "
@@ -547,6 +554,11 @@ class VortexModel:
                 # |Aᵀr|, a different quantity — logs must be comparable)
                 u_flat, niter = x, info["niter"]
                 res = residual_jit(A.vals, A.cols, b, x)
+            elif precond == "block" and solver == "cgls":
+                from ..ops.linalg import block_whitener_host
+                W = block_whitener_host(A)
+                u_flat, res, niter = solve_block_jit(
+                    A.vals, A.cols, b, u_flat * cfg.warm_start, W)
             else:
                 u_flat, res, niter = solve_jit(A.vals, A.cols, b,
                                                u_flat * cfg.warm_start)

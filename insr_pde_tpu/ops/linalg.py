@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # --------------------------------------------------------------- cg_batch
 
@@ -225,13 +226,46 @@ def _block_apply(W: jax.Array, y: jax.Array) -> jax.Array:
                       y.reshape(W.shape[0], -1)).reshape(-1)
 
 
+_GRAM_JIT: dict = {}
+
+
+def block_whitener_host(A, eig_floor: float = 1e-6) -> jax.Array:
+    """`block_whitener` with the eigendecomposition on the HOST in float64.
+
+    TPU f32 `eigh` is far too inaccurate for the near-singular RBF Gram
+    blocks (eigenvalue spreads beyond 1e9): measured max |W G W - I| = 661
+    on-chip vs ~1e-5 from LAPACK f64 — whitening with the on-chip factors
+    silently NaNs the CGLS iterates and the divergence guard returns x = 0.
+    The Gram reduce (the data-sized part) stays a jitted device program;
+    only the (n_blocks, J, J) blocks move to host (~1 MB at reference
+    scale, once per solve). MUST be called outside jit (host transfer).
+    """
+    nb = int(A[-1])
+    if nb not in _GRAM_JIT:
+        _GRAM_JIT[nb] = jax.jit(lambda v, c: block_gram(v, c, nb))
+    G = np.asarray(_GRAM_JIT[nb](A.vals, A.cols)).astype(np.float64)
+    w, V = np.linalg.eigh(G)
+    wmax = np.maximum(w[:, -1:], 0.0)
+    denom = np.maximum(w, np.maximum(eig_floor * wmax, 1e-300))
+    W = np.einsum("bij,bj,bkj->bik", V, 1.0 / np.sqrt(denom), V)
+    W[wmax[:, 0] <= 0.0] = np.eye(G.shape[-1])
+    return jnp.asarray(W.astype(np.float32))
+
+
 def cgls_block_precond(A, b: jax.Array, x0: jax.Array,
                        maxiter: int = 500, tol: float = 1e-8,
-                       damp: float = 0.0, eig_floor: float = 1e-6):
+                       damp: float = 0.0, eig_floor: float = 1e-6,
+                       W: Optional[jax.Array] = None):
     """CGLS on the block-whitened system B = A W (see block_whitener);
     returns x = W y in the original variable. `damp` regularizes the
-    whitened variable y. W is symmetric, so Bᵀ r = W (Aᵀ r)."""
-    W = block_whitener(A.vals, A.cols, A.n_blocks, eig_floor)
+    whitened variable y. W is symmetric, so Bᵀ r = W (Aᵀ r).
+
+    Pass a precomputed `W` (from `block_whitener_host`) when running on a
+    TPU — the default in-jit `block_whitener` relies on the backend's f32
+    eigh, which is accurate on CPU LAPACK but unusable on-chip for these
+    Gram spectra (see block_whitener_host)."""
+    if W is None:
+        W = block_whitener(A.vals, A.cols, A.n_blocks, eig_floor)
     # y0 solves W y0 = x0; for x0 = 0 (the production cold start) y0 = 0 —
     # avoid a per-call batched solve for the general case nobody uses
     y0 = jnp.zeros_like(x0)
@@ -361,28 +395,37 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
     def apply_p(P, v):
         return _block_apply(P, v) if block_mode else P * v
 
-    @jax.jit
-    def init(vals, cols, b, x0, d2):
-        Aop = mk(vals, cols)
-        if block_mode:
-            P = block_whitener(vals, cols, static_field)
-            # y0 solves W y0 = x0 (W symmetric PD by construction)
-            y0 = jnp.linalg.solve(
-                P, x0.reshape(static_field, -1)[..., None])[..., 0].reshape(-1)
-        elif precondition:
-            P = Aop.col_norms()
-            # relative cutoff — see cgls_sparse
-            P = jnp.where(P > 1e-6 * jnp.max(P), 1.0 / P, 0.0)
-            y0 = x0 / jnp.where(P == 0, 1.0, P)
-        else:
-            P = jnp.ones((Aop.n_cols,), vals.dtype)
-            y0 = x0
-        r0 = b - Aop.mv(apply_p(P, y0))
-        s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
-        gamma0 = jnp.sum(s0 * s0)
-        phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
-        return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
-                phi0, y0, phi0), P
+    if block_mode:
+        # W comes from block_whitener_host computed OUTSIDE this program
+        # (TPU f32 eigh is unusable for these Gram spectra) and the
+        # wrapper passes the already-whitened start y0 directly.
+        @jax.jit
+        def init(vals, cols, b, y0, d2, P):
+            Aop = mk(vals, cols)
+            r0 = b - Aop.mv(apply_p(P, y0))
+            s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
+            gamma0 = jnp.sum(s0 * s0)
+            phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
+            return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                    phi0, y0, phi0), P
+    else:
+        @jax.jit
+        def init(vals, cols, b, x0, d2):
+            Aop = mk(vals, cols)
+            if precondition:
+                P = Aop.col_norms()
+                # relative cutoff — see cgls_sparse
+                P = jnp.where(P > 1e-6 * jnp.max(P), 1.0 / P, 0.0)
+                y0 = x0 / jnp.where(P == 0, 1.0, P)
+            else:
+                P = jnp.ones((Aop.n_cols,), vals.dtype)
+                y0 = x0
+            r0 = b - Aop.mv(apply_p(P, y0))
+            s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
+            gamma0 = jnp.sum(s0 * s0)
+            phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
+            return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                    phi0, y0, phi0), P
 
     @jax.jit
     def restart_state(vals, cols, b, state, dcol, d2):
@@ -477,7 +520,22 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     init, run_chunk, restart_state = _CHUNKED_CACHE[key]
 
     d2 = jnp.asarray(damp * damp, jnp.float32)
-    state, dcol = init(A.vals, A.cols, b, x0, d2)
+    if precondition == "block":
+        W = block_whitener_host(A)
+        x0np = np.asarray(x0)
+        if np.any(x0np):
+            # y0 solves W y0 = x0 — on host in f64 (W is near-singular by
+            # construction; a device f32 solve can blow up the warm start)
+            y0 = np.linalg.solve(
+                np.asarray(W, np.float64),
+                x0np.astype(np.float64).reshape(static_field, -1)[..., None]
+            )[..., 0].reshape(-1).astype(np.float32)
+            y0 = jnp.asarray(y0)
+        else:
+            y0 = jnp.zeros_like(x0)
+        state, dcol = init(A.vals, A.cols, b, y0, d2, W)
+    else:
+        state, dcol = init(A.vals, A.cols, b, x0, d2)
     stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
     it = 0
     while True:

@@ -357,3 +357,26 @@ def test_cgls_block_precondition_paths():
                                 tol=1e-12, precondition="block")
     r2 = float(jnp.linalg.norm(A.mv(x2) - b))
     assert r2 < 1e-3 * nb_
+
+    # the host-f64 whitener (the TPU path — on-chip f32 eigh is unusable
+    # for these spectra) must actually whiten: W G W ~ I on the non-empty
+    # blocks, and feeding it to cgls_block_precond must converge too
+    from insr_pde_tpu.ops.linalg import block_gram, block_whitener_host
+    W = block_whitener_host(A)
+    G = block_gram(A.vals, A.cols, NB)
+    Gh = np.einsum("bij,bjk,bkl->bil", np.asarray(W), np.asarray(G),
+                   np.asarray(W))
+    nonempty = np.asarray(jnp.linalg.norm(G.reshape(NB, -1), axis=1)) > 0
+    # eigenvalues below eig_floor*wmax are deliberately left unwhitened
+    # (pseudo-whitening), so compare against I only where whitening is
+    # claimed: the diagonal must be in (0, 1] and near 1 in the mean
+    diag = np.einsum("bii->bi", Gh)[nonempty]
+    assert float(diag.max()) < 1.0 + 1e-3
+    # this test's blocks are near-collinear at ~the eig_floor, so those
+    # directions are only partially whitened (by design); the well-
+    # conditioned directions must be ~1 and nothing may exceed 1
+    assert float(np.mean(diag)) > 0.6
+    assert float(diag.min()) > 0.3
+    x3, _ = cgls_block_precond(A, b, x0, maxiter=400, tol=1e-12, W=W)
+    r3 = float(jnp.linalg.norm(A.mv(x3) - b))
+    assert r3 < 1e-3 * nb_
