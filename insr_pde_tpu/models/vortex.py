@@ -149,6 +149,10 @@ class VortexConfig:
     # where the site grid under-covers the domain — exactly where the
     # boundary/inlet rows live. Off = reference parity.
     pou_normalize: bool = False
+    # stream form only: add fully-developed-outflow rows u_y = -psi_x = 0
+    # along the outlet (the outlet strip otherwise carries p rows only and
+    # the representation rings there). Off = reference parity.
+    outlet_v: bool = False
     # per-site polynomial feature tail (rbf.RBFConfig.poly): 0 = off
     # (reference parity — pure random sigmoid features), 1 = append
     # {1, x, y, t}, 2 = + quadratics. With poly >= 1 the channel scene's
@@ -818,6 +822,17 @@ class StreamVortexModel(VortexModel):
         add_block(basis_val(pbd)[:, :, PVAR, :],
                   block_ids(rcfg, pbd.idx, PVAR),
                   jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
+        if cfg.outlet_v:
+            # fully-developed outflow: u_y = -psi_x = 0 along the outlet.
+            # The outlet edge strip otherwise has NO psi rows at all (p=0
+            # only), and the representation rings there — measured as the
+            # residual velocity-spike location at reference scale
+            # (COMPARISON.md round 3). The true channel solution satisfies
+            # this identically; off by default (reference parity: the
+            # reference pins outlet pressure only, vortex/model.py:373).
+            vd = vel_cols(pbd)
+            add_block(vd[..., 1], block_ids(rcfg, pbd.idx, PSI),
+                      jnp.zeros(len(pts.dirp)), weight=cfg.w_bc)
 
         # -- inlet rows (value/both modes: t>0 slices only — the t=0 slice
         #    belongs to the init block, see __init__)
@@ -880,6 +895,8 @@ class StreamVortexModel(VortexModel):
         if deriv:
             names.append(("free_slip", len(pts.neu)))
         names.append(("outlet_p", len(pts.dirp)))
+        if cfg.outlet_v:
+            names.append(("outlet_v", len(pts.dirp)))
         if value:
             names.append(("inlet_psi", n_left))
         if deriv:

@@ -183,14 +183,37 @@ def cgls(A_mv: Callable, At_mv: Callable, b: jax.Array, x0: jax.Array,
 # ------------------------------------------------------ block preconditioner
 
 
-def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int) -> jax.Array:
+def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int,
+               row_chunk: int = 65536) -> jax.Array:
     """Per-block-column Gram blocks of a BlockSparse operator:
     G[b] = sum over (row, slot) pairs addressing block b of
-    vals[r,s,:] vals[r,s,:]^T — the (J, J) diagonal blocks of AᵀA."""
+    vals[r,s,:] vals[r,s,:]^T — the (J, J) diagonal blocks of AᵀA.
+
+    Accumulated over `row_chunk`-sized slices with lax.scan: the naive
+    einsum materializes an (R*S, J, J) intermediate — ~19 GB at the
+    4x-density reference scale (measured HBM OOM on a 16 GB chip) — while
+    the scanned accumulation peaks at row_chunk*J*J (~67 MB)."""
     J = vals.shape[-1]
-    outer = jnp.einsum("rsi,rsj->rsij", vals, vals).reshape(-1, J, J)
-    return jax.ops.segment_sum(outer, cols.reshape(-1),
-                               num_segments=n_blocks)
+    v = vals.reshape(-1, J)
+    c = cols.reshape(-1)
+    n = v.shape[0]
+    pad = (-n) % row_chunk
+    if pad:
+        # padded slots carry v = 0, so their outer products add nothing
+        v = jnp.concatenate([v, jnp.zeros((pad, J), v.dtype)])
+        c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+    v = v.reshape(-1, row_chunk, J)
+    c = c.reshape(-1, row_chunk)
+
+    def step(acc, vc):
+        vi, ci = vc
+        outer = jnp.einsum("ri,rj->rij", vi, vi)
+        return acc + jax.ops.segment_sum(outer, ci,
+                                         num_segments=n_blocks), None
+
+    G, _ = jax.lax.scan(step, jnp.zeros((n_blocks, J, J), vals.dtype),
+                        (v, c))
+    return G
 
 
 def block_whitener(vals: jax.Array, cols: jax.Array, n_blocks: int,

@@ -553,3 +553,33 @@ def test_poly_tail_represents_linear_exactly():
         np.testing.assert_allclose(np.asarray(g),
                                    np.tile([0.0, 3.0], (50, 1)),
                                    atol=1e-4, err_msg=pou)
+
+
+def test_stream_normalized_channel_is_credible():
+    """The round-3 channel-scene configuration (Shepard-normalized smooth
+    space PoU + indicator time PoU + per-slice windows + Hermite BCs +
+    block-whitened CGLS) must produce a CREDIBLE uniform channel flow at
+    a well-determined small scale: inlet hit to sub-percent on every
+    post-impulse slice AND bounded velocity everywhere (the unnormalized
+    config measures inlet 0.34 / max|u| 206 on this exact scene — the
+    boundary-strip partition-of-unity deficiency, COMPARISON.md round 3)."""
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+    cfg = VortexConfig(rho=1.0, internal_v=1.0, n_spatial_basis=49,
+                       time_num=3, collocation_pts_num=300,
+                       boundary_num=120, pou="smooth", pou_time="simple",
+                       time_window=1, band_width=1.0, stream_bc="both",
+                       w_bc=5.0, pou_normalize=True,
+                       cgls_precondition="block", cgls_maxiter=1200,
+                       cgls_tol=1e-12, picard_iters=1, seed=3,
+                       log_dir="/tmp/bp_log")
+    m = StreamVortexModel(cfg, log=False)
+    res = m.matrix_solver()
+    assert np.isfinite(res)
+    vals, _ = m.sample_field(32)
+    g = np.asarray(vals).reshape(vals.shape[0], 32, 32, -1)
+    # inlet column (x = -1), u component, post-impulse slices
+    per = np.mean(np.abs(g[:, 0, :, 0] - 1.0), axis=1)
+    assert float(np.mean(per[1:])) < 0.05, per
+    # the flow must be bounded everywhere (no between-collocation spikes)
+    speed = np.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
+    assert float(speed.max()) < 10.0, float(speed.max())

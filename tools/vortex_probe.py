@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--poly", type=int, default=0,
                     help="per-site polynomial tail degree (RBF-FD "
                          "augmentation; 0 = reference parity)")
+    ap.add_argument("--outlet_v", action="store_true",
+                    help="stream form: fully-developed-outflow rows "
+                         "(u_y = 0 at the outlet)")
     ap.add_argument("--pou_normalize", action="store_true",
                     help="Shepard-normalize PoU weights (exact partition "
                          "of unity in the boundary strips)")
@@ -126,7 +129,7 @@ def main():
         host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
         pou_time=args.pou_time, poly=args.poly,
-        pou_normalize=args.pou_normalize,
+        pou_normalize=args.pou_normalize, outlet_v=args.outlet_v,
         **({"time_window": args.time_window}
            if args.time_window is not None else {}),
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
