@@ -15,8 +15,32 @@ from insr_pde_tpu.utils.runtime import enable_compilation_cache
 enable_compilation_cache()
 
 
+PRESETS = {
+    # The round-3 channel-scene configuration: the measured fix for the
+    # scene the reference's own notebook concedes fails (vortex.ipynb "can
+    # not process the nonlinear scene"). Stream formulation (continuity
+    # exact by construction), Shepard-normalized C1 space PoU + indicator
+    # time PoU with per-slice windows, Hermite (value+derivative) BC rows,
+    # 8x the reference collocation density (the 1x system is ~4:1
+    # underdetermined; 8x makes it overdetermined), block-whitened chunked
+    # CGLS. Measured at full reference scale on the TPU (COMPARISON.md
+    # round 3): inlet rel err 2.9e-3, analytic divergence 2.2e-7.
+    "channel": dict(formulation="stream", pou="smooth", pou_time="simple",
+                    time_window=1, band_width=1.0, stream_bc="both",
+                    w_bc=5.0, pou_normalize=True, precondition="block",
+                    cgls_chunk=200, cgls_restart=True, cgls_maxiter=2000,
+                    collocation=8000, boundary=3200),
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("starterL")
+    ap.add_argument("--preset", choices=[""] + sorted(PRESETS),
+                    default="",
+                    help="named configuration bundle; explicit flags "
+                         "override preset values. 'channel': the round-3 "
+                         "reference-scale channel-scene solve (stream + "
+                         "normalized PoU + 8x density; COMPARISON.md)")
     ap.add_argument("--output_path", type=str, default="./results/vortex")
     ap.add_argument("--log_dir", type=str, default="./log/vortex")
     ap.add_argument("--n_rounds", type=int, default=1,
@@ -66,6 +90,30 @@ def main(argv=None):
                     help="stream formulation wall/inlet treatment: explicit "
                          "psi Dirichlet data (default; see VortexConfig) or "
                          "u = curl(psi) derivative rows")
+    ap.add_argument("--pou_time", type=str, default="",
+                    help="time-axis PoU family override (''=same as --pou); "
+                         "'simple' + --time_window 1 = per-slice indicator "
+                         "windows (the channel preset)")
+    ap.add_argument("--time_window", type=int, default=2)
+    ap.add_argument("--pou_normalize", action="store_true",
+                    help="Shepard-normalize the PoU weights (exact partition "
+                         "of unity on the boundary strips — the round-3 "
+                         "channel-scene fix)")
+    ap.add_argument("--precondition", choices=["auto", "on", "off", "block"],
+                    default="auto",
+                    help="CGLS column scaling; 'block' = per-site eigen "
+                         "whitener (ops/linalg.block_whitener)")
+    ap.add_argument("--band_width", type=float, default=None,
+                    help="RBF feature bandwidth (default: 10 velocity form, "
+                         "1 stream form)")
+    ap.add_argument("--w_bc", type=float, default=None,
+                    help="BC row weight (default: 1 velocity form, 5 stream)")
+    ap.add_argument("--cgls_damp", type=float, default=None,
+                    help="Tikhonov damp (default: 0.01 for continuous-PoU "
+                         "velocity form, else 0)")
+    ap.add_argument("--outlet_v", action="store_true",
+                    help="stream form: add fully-developed-outflow rows "
+                         "(u_y = 0) along the outlet")
     ap.add_argument("--ckpt_path", type=str, default="",
                     help="save the solved coefficients (+ config snapshot) "
                          "here after each round; default "
@@ -76,6 +124,10 @@ def main(argv=None):
                     help="load a vortex_ckpt.npz before solving (warm "
                          "resume; recap.py vortex re-renders without "
                          "solving)")
+    # preset values become parser defaults so explicit flags override them
+    pre, _ = ap.parse_known_args(argv)
+    if pre.preset:
+        ap.set_defaults(**PRESETS[pre.preset])
     args = ap.parse_args(argv)
 
     if args.formulation == "stream":
@@ -83,11 +135,16 @@ def main(argv=None):
         # PoU (hat kinks would make u jump across cells), sharper features
         # (second-derivative columns scale 1/bw^2), and the preconditioned
         # undamped CGLS
-        pou, damp, bw, w_bc = "smooth", 0.0, 1.0, 5.0
+        pou = args.pou if args.pou != "simple" else "smooth"
+        damp = args.cgls_damp if args.cgls_damp is not None else 0.0
+        bw = args.band_width if args.band_width is not None else 1.0
+        w_bc = args.w_bc if args.w_bc is not None else 5.0
     else:
         pou = args.pou
-        damp = 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0
-        bw, w_bc = 10.0, 1.0
+        damp = (args.cgls_damp if args.cgls_damp is not None
+                else 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0)
+        bw = args.band_width if args.band_width is not None else 10.0
+        w_bc = args.w_bc if args.w_bc is not None else 1.0
     cfg = VortexConfig(
         rho=args.rho, internal_v=args.internal_v,
         collocation_pts_num=args.collocation, boundary_num=args.boundary,
@@ -96,6 +153,9 @@ def main(argv=None):
         cgls_chunk=args.cgls_chunk, cgls_restart=args.cgls_restart,
         host_sync=args.host_sync,
         pou=pou, cgls_damp=damp, band_width=bw, w_bc=w_bc,
+        pou_time=args.pou_time, time_window=args.time_window,
+        pou_normalize=args.pou_normalize,
+        cgls_precondition=args.precondition, outlet_v=args.outlet_v,
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
     model = cls(cfg)

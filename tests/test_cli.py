@@ -111,3 +111,40 @@ def test_vortex_ckpt_recap_roundtrip(tmp_path):
         "--n_spatial_basis", "36", "--picard_iters", "1",
         "--cgls_maxiter", "10", "--rho", "1.0", "--internal_v", "1.0",
         "--resume", str(ckpt)])
+
+
+def test_starterL_channel_preset_solves_tiny(tmp_path):
+    """--preset channel wires the round-3 channel-scene bundle (stream +
+    Shepard-normalized smooth PoU + per-slice windows + Hermite BCs +
+    block whitener + chunked restarted CGLS) while explicit flags
+    override the preset's scale (COMPARISON.md round 3)."""
+    import starterL as starter_mod
+
+    # preset values land in the parsed config; explicit flags override
+    cfg_holder = {}
+    orig_cls = starter_mod.StreamVortexModel
+
+    class Spy(orig_cls):
+        def __init__(self, cfg, **kw):
+            cfg_holder["cfg"] = cfg
+            super().__init__(cfg, **kw)
+
+    starter_mod.StreamVortexModel = Spy
+    try:
+        starter_mod.main([
+            "--preset", "channel",
+            "--output_path", str(tmp_path / "out"),
+            "--log_dir", str(tmp_path / "log"), "--ckpt_path", "none",
+            "--collocation", "200", "--boundary", "80", "--time_num", "3",
+            "--n_spatial_basis", "25", "--picard_iters", "1",
+            "--cgls_maxiter", "120", "--cgls_chunk", "60",
+            "--rho", "1.0", "--internal_v", "1.0"])
+    finally:
+        starter_mod.StreamVortexModel = orig_cls
+    cfg = cfg_holder["cfg"]
+    assert cfg.pou == "smooth" and cfg.pou_time == "simple"
+    assert cfg.pou_normalize and cfg.cgls_precondition == "block"
+    assert cfg.stream_bc == "both" and cfg.time_window == 1
+    assert cfg.cgls_restart and cfg.cgls_chunk == 60     # flag overrode
+    assert cfg.collocation_pts_num == 200                # flag overrode
+    assert (tmp_path / "out" / "field.npy").exists()
