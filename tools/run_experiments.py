@@ -1,4 +1,5 @@
-"""Run all 8 paper-experiment configurations end-to-end (smoke or full).
+"""Run all 9 experiment configurations end-to-end (smoke or full): the
+8 reference paper experiments plus the vortex channel scene (starterL).
 
 SURVEY.md §7 item 7: the regression harness over the reference's scripts/
 matrix. `--smoke` shrinks iteration counts/resolutions so the whole matrix
@@ -41,7 +42,7 @@ def _write_box_mesh(path):
 
 
 def experiment_args(tmp, smoke: bool):
-    """The 8 reference experiments (scripts/*.sh hyperparameters)."""
+    """The 8 reference experiments (scripts/*.sh) + vortex_channel."""
     mesh = os.environ.get("MESH_PATH")
     if not mesh:
         mesh = os.path.join(tmp, "box.mesh")
@@ -120,6 +121,17 @@ def experiment_args(tmp, smoke: bool):
              "--hidden_features", "128", "--ratio_arap", "1e3",
              "-f_ext_z=-2e1", "-T_ext", "10"] + ela3d_common,
             200, sr=4, T=2),
+        # 9th: the vortex channel scene via starterL (the reference's
+        # starterL.py workload, solved by the round-3 preset — its own
+        # notebook concedes the scene fails; COMPARISON.md). Dispatched to
+        # starterL.main, not main.main.
+        "vortex_channel": (
+            ["--preset", "channel", "--picard_iters", "1",
+             "--n_spatial_basis", "36", "--time_num", "3",
+             "--collocation", "300", "--boundary", "120",
+             "--cgls_maxiter", "300", "--cgls_chunk", "150",
+             "--rho", "1.0", "--internal_v", "1.0"] if smoke else
+            ["--preset", "channel", "--picard_iters", "3"]),
     }
 
 
@@ -147,6 +159,25 @@ def main():
         experiments = experiment_args(tmp, args.smoke)
         names = (args.only.split(",") if args.only else list(experiments))
         for name in names:
+            if name == "vortex_channel":
+                import starterL as starter_mod
+                out_dir = os.path.join(proj, name)
+                argv = experiments[name] + [
+                    "--output_path", out_dir,
+                    "--log_dir", os.path.join(tmp, "vortex_log")]
+                t0 = time.perf_counter()
+                try:
+                    starter_mod.main(argv)
+                    wall = time.perf_counter() - t0
+                    field = np.load(os.path.join(out_dir, "field.npy"))
+                    results[name] = {
+                        "ok": bool(np.isfinite(field).all()),
+                        "outputs": len(os.listdir(out_dir)),
+                        "wall_s": round(wall, 1)}
+                except (Exception, SystemExit) as e:
+                    results[name] = {"ok": False, "error": repr(e)[:200]}
+                print(json.dumps({name: results[name]}), flush=True)
+                continue
             argv = experiments[name] + [
                 "--tag", name, "--proj_dir", proj, "--no_backup",
                 "--vis_frequency", "1000000000"]
