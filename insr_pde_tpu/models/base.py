@@ -132,10 +132,8 @@ class BaseModel:
         if self.tb is not None:
             hist = {k: np.asarray(v) for k, v in result.history.items()}
             n = len(hist.get("main", []))
-            step_stride = max(1, n // 2000)  # cap log volume
-            for i in range(0, n, step_stride):
-                self.tb.add_scalars(
-                    tag, {k: float(v[i]) for k, v in hist.items()}, i)
+            self.tb.add_scalars_history(tag, hist,
+                                        stride=max(1, n // 2000))
         return result
 
     # ---- checkpointing (reference base/baseModel.py:137-162) ----

@@ -112,7 +112,7 @@ class Solver:
                  early_stop_min_lr: float = 1.1e-8,
                  mesh: Optional[Mesh] = None, mesh_axis: str = "data",
                  debug_nan: bool = False, flatten: bool = True,
-                 precision: Optional[str] = None):
+                 precision: Optional[str] = None, pipeline: bool = True):
         # flatten=True runs Adam/plateau/freeze on ONE raveled param vector
         # instead of the per-layer pytree: fewer HLO ops per scan body and
         # identical math (Adam is elementwise). Round-3 decomposition
@@ -123,6 +123,16 @@ class Solver:
         # (between-chunk transfers + metrics IO), not the compiled body.
         self.flatten = flatten
         self.debug_nan = debug_nan
+        # pipeline=True dispatches chunk k+1 before fetching chunk k's
+        # scalars, overlapping the blocking host<->device round trip (a
+        # ~20-30 ms tunnel latency per fetch) with device compute. Safe by
+        # construction: if early stop latches inside chunk k, every step of
+        # the speculatively dispatched chunk k+1 sees stopped=True and
+        # freezes params/opt/plateau — the final state is bit-identical to
+        # the unpipelined one (only the RNG key advances, and the frozen
+        # steps never consume it for updates). Cost: at most one chunk of
+        # wasted device time per early-stopped fit.
+        self.pipeline = pipeline
         # per-Solver precision snapshot (None -> process default at trace
         # time). Snapshotting at construction prevents a later model with a
         # different cfg.matmul_precision from changing this solver's
@@ -145,6 +155,8 @@ class Solver:
         )
         self.opt = optax.adam(lr)
         self._chunk_fns: Dict[int, Callable] = {}
+        self._unravel = None
+        self._init_fn = None
 
     # ---- loss/grad with optional collocation sharding ----
     def _value_and_grad(self, params, key, aux):
@@ -233,8 +245,6 @@ class Solver:
     # ---- public API ----
     def init_state(self, params, key) -> SolveState:
         if self.flatten:
-            from jax.flatten_util import ravel_pytree
-            flat, unravel = ravel_pytree(params)
             # the unravel closure is structural (treedef + shapes); it is
             # identical across fits of the same phase, so reusing the cached
             # compiled chunk (which baked it in at trace time) stays valid.
@@ -251,14 +261,30 @@ class Solver:
                     f"treedef/shapes {struct} differ from the layout this "
                     f"solver first compiled for {self._param_struct}; build "
                     "a fresh Solver per param layout.")
-            self._unravel = unravel
-            params = flat
-        else:
-            # copy: the chunk runner donates its input state, and the
-            # caller's params buffers may be aliased elsewhere (e.g. as next
-            # step's frozen `prev` field); ravel_pytree above already copies
-            params = jax.tree_util.tree_map(jnp.copy, params)
-        return SolveState(params, self.opt.init(params), plateau_init(), key)
+            if self._unravel is None:
+                from jax.flatten_util import ravel_pytree
+                # one-time eager ravel just to capture the (structural)
+                # unravel closure; every subsequent fit ravels inside the
+                # jitted init program below.
+                _, self._unravel = ravel_pytree(params)
+        if self._init_fn is None:
+            @jax.jit
+            def init_fn(params, key):
+                if self.flatten:
+                    from jax.flatten_util import ravel_pytree
+                    p, _ = ravel_pytree(params)
+                else:
+                    # copy: the chunk runner donates its input state, and
+                    # the caller's params buffers may be aliased elsewhere
+                    # (e.g. as next step's frozen `prev` field);
+                    # ravel_pytree above already copies
+                    p = jax.tree_util.tree_map(jnp.copy, params)
+                return SolveState(p, self.opt.init(p), plateau_init(), key)
+            self._init_fn = init_fn
+        # one compiled program builds the whole SolveState: the eager path
+        # was ~8 separate tiny array creations per fit, each a dispatch to
+        # the (tunneled) device
+        return self._init_fn(params, key)
 
     def fit(self, params, key, aux=None, *, callback=None) -> FitResult:
         """Run the solve loop. callback(it, params, chunk_losses) is invoked
@@ -266,10 +292,21 @@ class Solver:
         vis_frequency hooks, base/baseModel.py:122-124)."""
         state = self.init_state(params, key)
         history: Dict[str, list] = {}
-        it = 0
-        while it < self.max_n_iters:
-            n = min(self.chunk_size, self.max_n_iters - it)
-            state, stacked = self._get_chunk_fn(n)(state, aux)
+        it = 0            # iterations fetched & processed
+        dispatched = 0    # iterations enqueued on the device
+        inflight = []     # [(n, stacked)] dispatched, not yet fetched
+        depth = 2 if self.pipeline else 1
+        stopped = False
+        while it < self.max_n_iters and not stopped:
+            # keep `depth` chunks enqueued: the device runs chunk k+1 while
+            # the host blocks on chunk k's scalar fetch (one tunnel round
+            # trip per chunk otherwise spent idle)
+            while dispatched < self.max_n_iters and len(inflight) < depth:
+                n = min(self.chunk_size, self.max_n_iters - dispatched)
+                state, stacked = self._get_chunk_fn(n)(state, aux)
+                inflight.append((n, stacked))
+                dispatched += n
+            n, stacked = inflight.pop(0)
             host = np.asarray(jax.device_get(stacked))   # one transfer
             outs = {k: host[:, i] for i, k in enumerate(self._out_keys)}
             active = outs.pop("_active") > 0.5
@@ -283,7 +320,11 @@ class Solver:
             it += n
             if callback is not None:
                 # report the last *active* loss, not the value logged after
-                # the freeze latch (it is stale once early-stop triggers)
+                # the freeze latch (it is stale once early-stop triggers).
+                # With pipelining, the params handed to the callback reflect
+                # the most recently *dispatched* chunk — up to one chunk
+                # ahead of `it` (vis hooks see a slightly fresher field;
+                # scalar reporting is exact).
                 last = max(n_active - 1, 0) if n_active < n else n - 1
                 cb_params = (self._unravel(state.params) if self.flatten
                              else state.params)
@@ -291,8 +332,11 @@ class Solver:
                          {k: v[last] for k, v in outs.items()})
             if n_active < n:  # early-stopped inside this chunk
                 it = it - n + n_active
-                break
-        hist = {k: jnp.concatenate([jnp.atleast_1d(jnp.asarray(x)) for x in v])
+                stopped = True
+        # any still-inflight chunk was speculative: every one of its steps
+        # ran with the freeze latch set, so `state` is bit-identical to the
+        # unpipelined result; its scalar outputs are simply discarded.
+        hist = {k: np.concatenate([np.atleast_1d(np.asarray(x)) for x in v])
                 for k, v in history.items()}
         final = float(hist["main"][-1]) if "main" in hist and hist["main"].size else 0.0
         out_params = (self._unravel(state.params) if self.flatten

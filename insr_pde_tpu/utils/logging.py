@@ -40,6 +40,31 @@ class MetricsWriter:
             self._tb.add_scalars(tag, {k: float(v) for k, v in values.items()},
                                  global_step=global_step)
 
+    def add_scalars_history(self, tag: str, history: Dict[str, "object"],
+                            stride: int = 1):
+        """Bulk per-iteration scalar dump: one JSONL line per `stride`-th
+        iteration, assembled in memory and written with a single file write.
+        `history` maps key -> 1D array-like of equal length. The per-call
+        `add_scalars` path costs a json.dumps + line-buffered syscall per
+        iteration — measured as real host time on this 1-core container when
+        a solve logs thousands of iterations per phase."""
+        keys = list(history)
+        if not keys:
+            return
+        n = len(history[keys[0]])
+        t = time.time()
+        lines = []
+        for i in range(0, n, max(1, stride)):
+            rec = {"tag": tag, "step": i, "t": t}
+            rec.update({k: float(history[k][i]) for k in keys})
+            lines.append(json.dumps(rec))
+        self._f.write("\n".join(lines) + "\n")
+        if self._tb is not None:
+            for i in range(0, n, max(1, stride)):
+                self._tb.add_scalars(
+                    tag, {k: float(history[k][i]) for k in keys},
+                    global_step=i)
+
     def add_figure(self, tag: str, fig, global_step: int):
         fig_dir = os.path.join(self.log_path, "figures")
         os.makedirs(fig_dir, exist_ok=True)
