@@ -173,3 +173,30 @@ def test_sharded_solver_weak_scaling_layout():
     # weak scaling: per-device work within 35% of the single-device program
     # (the pmean and sharding bookkeeping add a little)
     assert flops[8] < 1.35 * flops[1], flops
+
+
+def test_pipelined_fit_matches_unpipelined():
+    """pipeline=True speculatively dispatches one chunk ahead; the freeze
+    latch must make the result — params, n_iters, and the recorded history —
+    bit-identical to the sequential loop, including when early stop latches
+    mid-chunk (the speculative chunk's outputs are discarded)."""
+    def decaying_loss(params, key, aux):
+        # improves for a while then plateaus -> early stop fires mid-run
+        return {"main": jnp.sum(params ** 2) + 1.0}
+
+    for early_stop in (False, True):
+        kw = dict(lr=1e-1, max_n_iters=1200, chunk_size=100,
+                  early_stop=early_stop, plateau_patience=50,
+                  plateau_min_lr=1e-3, early_stop_min_lr=1.1e-3)
+        seq = Solver(decaying_loss, pipeline=False, **kw)
+        pip = Solver(decaying_loss, pipeline=True, **kw)
+        r_seq = seq.fit(jnp.asarray([2.0, -3.0]), jax.random.PRNGKey(7))
+        r_pip = pip.fit(jnp.asarray([2.0, -3.0]), jax.random.PRNGKey(7))
+        assert r_seq.n_iters == r_pip.n_iters, early_stop
+        np.testing.assert_array_equal(np.asarray(r_seq.params),
+                                      np.asarray(r_pip.params))
+        for k in r_seq.history:
+            np.testing.assert_array_equal(r_seq.history[k],
+                                          r_pip.history[k], err_msg=k)
+        if early_stop:
+            assert r_seq.n_iters < 1200  # the latch actually fired
