@@ -116,17 +116,27 @@ class BaseModel:
                 precision=self.matmul_precision)
         solver = self._solvers[tag]
 
-        last_vis = [0]
+        # Only thread a callback when an in-training vis can actually fire
+        # (the reference's hooks fire every vis_frequency iterations,
+        # base/baseModel.py:122-124). With vis off (no hook, no sink, or
+        # vis_frequency beyond the iteration budget) a callback would still
+        # cost an unravel + figure render per phase — measured as real
+        # per-timestep host overhead on the tunneled TPU.
+        want_vis = (vis_fn is not None and self.tb is not None
+                    and self.cfg.vis_frequency <= self.max_n_iters)
+        callback = None
+        if want_vis:
+            last_vis = [0]
 
-        def callback(it, p, losses):
-            self.train_step = it
-            if vis_fn is not None and (
-                    it - last_vis[0] >= self.cfg.vis_frequency
-                    or last_vis[0] == 0):
-                last_vis[0] = it
-                vis_fn(p)
+            def callback(it, p, losses):
+                self.train_step = it
+                if (it - last_vis[0] >= self.cfg.vis_frequency
+                        or last_vis[0] == 0):
+                    last_vis[0] = it
+                    vis_fn(p)
 
         result = solver.fit(params, self._next_key(), aux, callback=callback)
+        self.train_step = result.n_iters
 
         # per-iteration scalar history -> metrics sink (one bulk write)
         if self.tb is not None:

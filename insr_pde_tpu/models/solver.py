@@ -156,6 +156,9 @@ class Solver:
         self.opt = optax.adam(lr)
         self._chunk_fns: Dict[int, Callable] = {}
         self._unravel = None
+        self._unravel_jit = None   # jitted: ONE dispatch instead of one
+        #                            eager slice/reshape per param leaf
+        #                            (~16 tunnel dispatches for a 3x32 SIREN)
         self._init_fn = None
 
     # ---- loss/grad with optional collocation sharding ----
@@ -267,6 +270,7 @@ class Solver:
                 # unravel closure; every subsequent fit ravels inside the
                 # jitted init program below.
                 _, self._unravel = ravel_pytree(params)
+                self._unravel_jit = jax.jit(self._unravel)
         if self._init_fn is None:
             @jax.jit
             def init_fn(params, key):
@@ -326,7 +330,7 @@ class Solver:
                 # ahead of `it` (vis hooks see a slightly fresher field;
                 # scalar reporting is exact).
                 last = max(n_active - 1, 0) if n_active < n else n - 1
-                cb_params = (self._unravel(state.params) if self.flatten
+                cb_params = (self._unravel_jit(state.params) if self.flatten
                              else state.params)
                 callback(it, cb_params,
                          {k: v[last] for k, v in outs.items()})
@@ -339,7 +343,7 @@ class Solver:
         hist = {k: np.concatenate([np.atleast_1d(np.asarray(x)) for x in v])
                 for k, v in history.items()}
         final = float(hist["main"][-1]) if "main" in hist and hist["main"].size else 0.0
-        out_params = (self._unravel(state.params) if self.flatten
+        out_params = (self._unravel_jit(state.params) if self.flatten
                       else state.params)
         return FitResult(params=out_params, history=hist, n_iters=it,
                          final_loss=final)

@@ -13,13 +13,41 @@ import os
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+# jitted per-(dtype, shapes) leaf packers: checkpointing fetches ONE
+# concatenated array per dtype instead of one device->host copy per leaf
+# (each copy is a ~20-30 ms round trip on the tunneled TPU; a fluid model
+# has ~16 param leaves saved per timestep)
+_PACK_CACHE: Dict[tuple, Any] = {}
 
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
-    out = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        out[jax.tree_util.keystr(path)] = np.asarray(jax.device_get(leaf))
+    paths_leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    keys = [jax.tree_util.keystr(p) for p, _ in paths_leaves]
+    leaves = [leaf for _, leaf in paths_leaves]
+    out: Dict[str, np.ndarray] = {}
+    groups: Dict[str, list] = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            groups.setdefault(str(leaf.dtype), []).append(i)
+        else:
+            out[keys[i]] = np.asarray(leaf)
+    for dt, idxs in groups.items():
+        sig = (dt, tuple(tuple(leaves[i].shape) for i in idxs))
+        fn = _PACK_CACHE.get(sig)
+        if fn is None:
+            fn = jax.jit(
+                lambda ls: jnp.concatenate([jnp.ravel(l) for l in ls]))
+            _PACK_CACHE[sig] = fn
+        packed = np.asarray(jax.device_get(fn([leaves[i] for i in idxs])))
+        off = 0
+        for i in idxs:
+            shape = tuple(leaves[i].shape)
+            n = int(np.prod(shape)) if shape else 1
+            out[keys[i]] = packed[off:off + n].reshape(shape)
+            off += n
     return out
 
 
