@@ -55,3 +55,25 @@ def test_advection_ckpt_roundtrip(cfg):
     assert model2.timestep == 0
     np.testing.assert_allclose(np.asarray(model2.sample_field(50)), vals,
                                rtol=1e-6)
+
+
+def test_vis_hook_gating(cfg):
+    """In-training vis fires on the reference's every-vis_frequency schedule
+    (base/baseModel.py:122-124) but is skipped entirely — no callback, no
+    figure render — when vis_frequency exceeds the iteration budget (it
+    was measured as real per-phase host overhead on the tunneled TPU)."""
+    cfg.max_n_iters = 400
+    cfg.chunk_size = 200
+    cfg.setup_dirs()
+
+    calls = []
+    model = Advection1DModel(cfg)
+    model._vis_field = lambda params: calls.append(model.train_step)
+
+    cfg.vis_frequency = 10 ** 9          # off: must never fire
+    model.initialize()
+    assert calls == []
+
+    cfg.vis_frequency = 200              # on: fires at first chunk + every 200
+    model.step()
+    assert len(calls) >= 2
