@@ -130,8 +130,8 @@ def siren_forward_interpret(params, coords):
                         jnp.pad(b, (0, _LANE - b.shape[0]))[None, :]]
     out = pl.pallas_call(
         functools.partial(_siren_kernel, n_layers),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + 2 * n_layers),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + 2 * n_layers),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
         interpret=True,
     )(x, *flat_params)
