@@ -72,8 +72,8 @@ def _fluid_model(tmp):
     return Fluid2DModel(cfg)
 
 
-def bench_fluid() -> tuple[float, float]:
-    """Returns (sec/timestep, flops/timestep from XLA cost analysis)."""
+def bench_fluid() -> tuple[list, float]:
+    """Returns (per-rep seconds list, flops/timestep from XLA cost analysis)."""
     import jax
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -206,7 +206,7 @@ def bench_fluid_torch_baseline() -> float:
     return total * FLUID_ITERS
 
 
-def bench_advect() -> float:
+def bench_advect() -> list:
     from insr_pde_tpu.config import Config
     from insr_pde_tpu.models.advection import Advection1DModel
 

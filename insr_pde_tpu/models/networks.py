@@ -190,6 +190,9 @@ class HashGridField:
     log2_hashmap_size: int = 15
     base_resolution: int = 8
     finest_resolution: int = 256
+    # per-model matmul precision snapshot for the MLP head (same contract
+    # as MLP.precision; None -> process default)
+    precision: str | None = None
 
     def _encoder(self):
         from .encodings import MultiResHashGrid
@@ -204,7 +207,7 @@ class HashGridField:
         enc = self._encoder()
         return MLP(enc.output_dim, self.out_features,
                    self.num_hidden_layers, self.hidden_features,
-                   nonlinearity="relu")
+                   nonlinearity="relu", precision=self.precision)
 
     def init(self, key: jax.Array, dtype=jnp.float32):
         k_enc, k_mlp = jax.random.split(key)
@@ -268,5 +271,6 @@ def get_network(cfg: Any, in_features: int, out_features: int):
     if cfg.network in ("grid", "hashgrid"):
         return HashGridField(in_features, out_features,
                              num_hidden_layers=cfg.num_hidden_layers,
-                             hidden_features=cfg.hidden_features)
+                             hidden_features=cfg.hidden_features,
+                             precision=getattr(cfg, "matmul_precision", None))
     raise NotImplementedError(f"network={cfg.network}")

@@ -516,6 +516,12 @@ class VortexModel:
         if cfg.picard_iters < 1:
             raise ValueError(f"picard_iters must be >= 1, got "
                              f"{cfg.picard_iters}")
+        if precond == "block" and solver == "cg":
+            import warnings
+            warnings.warn(
+                "cgls_precondition='block' only applies to solver='cgls'; "
+                "the normal-equations cg path runs unwhitened.",
+                stacklevel=2)
         if cfg.cgls_chunk > 0 and self.mesh is not None and solver == "cgls":
             # the sharded path runs one long shard_map while_loop program —
             # exactly what cgls_chunk exists to avoid on fragile backends.
@@ -548,6 +554,17 @@ class VortexModel:
                 u_flat, niter = x, info["niter"]
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":
+                if precond == "block" and it == 0:
+                    # same silent-no-op hazard as cgls_chunk above: the
+                    # sharded solve has no whitener, and the whitener is
+                    # exactly what makes f32 CGLS converge on these Gram
+                    # spectra (COMPARISON.md)
+                    import warnings
+                    warnings.warn(
+                        "cgls_precondition='block' is ignored on the "
+                        "mesh-sharded CGLS path (no whitener there yet); "
+                        "drop the mesh for the whitened single-chip solve.",
+                        stacklevel=2)
                 # rows sharded over the mesh, psum over ICI
                 x, info = cgls_sparse_sharded(
                     self.mesh, self.mesh_axis, A, b,
@@ -955,6 +972,11 @@ class StreamVortexModel(VortexModel):
         lhs5 = jnp.stack(lhs5_parts, axis=1)
         rhs5 = jnp.stack(rhs5_parts, axis=1)
         lhs4 = val[pts.dirp, PVAR]
+        if cfg.outlet_v:
+            # fully-developed outflow u_y = -psi_x = 0 along the outlet —
+            # the same rows assemble() adds; without this the flag was a
+            # silent no-op in Adam/train mode
+            lhs4 = jnp.stack([lhs4, vel[pts.dirp, 1]], axis=1)
         lhs6 = jnp.concatenate([vel[pts.init], val[pts.init]], axis=-1)
         lhs7 = val[self.gauge_ids, PSI]
 

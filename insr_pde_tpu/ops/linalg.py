@@ -289,9 +289,12 @@ def cgls_block_precond(A, b: jax.Array, x0: jax.Array,
     Gram spectra (see block_whitener_host)."""
     if W is None:
         W = block_whitener(A.vals, A.cols, A.n_blocks, eig_floor)
-    # y0 solves W y0 = x0; for x0 = 0 (the production cold start) y0 = 0 —
-    # avoid a per-call batched solve for the general case nobody uses
-    y0 = jnp.zeros_like(x0)
+    # y0 solves W y0 = x0 per block (a warm start from cfg.warm_start must
+    # survive the change of variable; W's eigenvalues are floored at
+    # eig_floor*wmax so the batched solve is well-conditioned, and for the
+    # x0 = 0 cold start it returns exactly 0)
+    y0 = jnp.linalg.solve(W, x0.reshape(W.shape[0], -1)[..., None])[..., 0]
+    y0 = y0.reshape(-1)
     x, info = cgls(lambda y: A.mv(_block_apply(W, y)),
                    lambda r: _block_apply(W, A.rmv(r)),
                    b, y0, maxiter=maxiter, tol=tol, damp=damp)

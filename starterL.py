@@ -52,10 +52,13 @@ def main(argv=None):
                          "explicit normal-equations cg_batch (the reference "
                          "dense Vortex path)")
     ap.add_argument("--pou", choices=["simple", "hat", "smooth", "smooth2"],
-                    default="simple",
-                    help="'hat' = continuous PoUs; 'smooth' = C1 PoUs "
-                         "(required by --formulation stream; see "
-                         "insr_pde_tpu/models/rbf.py)")
+                    default=None,
+                    help="default: 'simple' (reference parity) for the "
+                         "velocity formulation, 'smooth' for stream. "
+                         "'hat' = continuous PoUs; 'smooth' = C1 PoUs "
+                         "(see insr_pde_tpu/models/rbf.py). An explicit "
+                         "--pou always wins (incl. 'simple' with stream — "
+                         "a deliberate A/B that warns).")
     ap.add_argument("--formulation", choices=["velocity", "stream"],
                     default="velocity",
                     help="'stream': u = curl(psi) — continuity exact by "
@@ -134,13 +137,20 @@ def main(argv=None):
         # the stream function's velocity is a derivative: it needs the C1
         # PoU (hat kinks would make u jump across cells), sharper features
         # (second-derivative columns scale 1/bw^2), and the preconditioned
-        # undamped CGLS
-        pou = args.pou if args.pou != "simple" else "smooth"
+        # undamped CGLS. An explicitly passed --pou is honored (it used to
+        # be silently coerced): 'simple' with stream is a legitimate A/B
+        # of the continuity upgrade, but warn that the velocity field will
+        # jump across cell boundaries.
+        pou = args.pou if args.pou is not None else "smooth"
+        if pou == "simple":
+            print("warning: --pou simple with --formulation stream gives a "
+                  "discontinuous velocity (u = grad psi across indicator-"
+                  "PoU cell edges); 'smooth' is the supported default.")
         damp = args.cgls_damp if args.cgls_damp is not None else 0.0
         bw = args.band_width if args.band_width is not None else 1.0
         w_bc = args.w_bc if args.w_bc is not None else 5.0
     else:
-        pou = args.pou
+        pou = args.pou if args.pou is not None else "simple"
         damp = (args.cgls_damp if args.cgls_damp is not None
                 else 0.01 if pou in ("hat", "smooth", "smooth2") else 0.0)
         bw = args.band_width if args.band_width is not None else 10.0
