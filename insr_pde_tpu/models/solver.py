@@ -198,13 +198,24 @@ class Solver:
         updates = _tree_scale(updates, carry.plateau.scale)
         new_params = optax.apply_updates(carry.params, updates)
 
+        # a non-finite loss/grad iteration (e.g. a collapsed deformation
+        # gradient under hard contact) must not be WRITTEN: once params go
+        # NaN every later iteration is lost. Skip the update and keep
+        # optimizing — strictly better than the reference, which trains
+        # straight into NaN (its diff ops only *report* a status flag,
+        # base/diff_ops.py:27-29).
+        finite = jnp.isfinite(ld["main"])
+        for leaf in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(leaf))
+
         # freeze everything once early-stopped (in-device 'break')
         active = ~carry.plateau.stopped
-        params = _tree_where(active, new_params, carry.params)
-        opt_state = _tree_where(active, opt_state, carry.opt_state)
+        write = active & finite
+        params = _tree_where(write, new_params, carry.params)
+        opt_state = _tree_where(write, opt_state, carry.opt_state)
         plateau = plateau_update(carry.plateau, ld["main"], **self._plateau_kw)
         plateau = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(active, n, o), plateau, carry.plateau)
+            lambda n, o: jnp.where(write, n, o), plateau, carry.plateau)
 
         out = dict(ld)
         out["_lr"] = self.lr * carry.plateau.scale

@@ -101,12 +101,23 @@ def _inv_transpose(X: jax.Array) -> jax.Array:
 
 def polar_rotation(F: jax.Array, n_iters: int = 6) -> jax.Array:
     """Polar factor R = U V^T of (..., d, d) via Higham's Newton iteration
-    X <- (X + X^-T) / 2 (scale-invariant: F is pre-normalized; quadratic
-    convergence — 6 steps reach f32 accuracy for well-conditioned F)."""
+    X <- (X + X^-T) / 2 (F is pre-normalized; quadratic convergence — 6
+    steps reach f32 accuracy for well-conditioned F).
+
+    Near-singular F (collapsed/inverted elements under hard contact — seen
+    in the bunny plane-collision scene at full scale) makes X^-T blow past
+    f32 range and the iterate goes non-finite, which would poison the ARAP
+    gradient and then the whole parameter vector. Such matrices have no
+    well-separated polar factor anyway; freeze them at their (normalized)
+    input so dE/dF = 2(F - R) stays bounded and the OTHER samples' descent
+    direction survives."""
     norm = jnp.sqrt(jnp.sum(F ** 2, axis=(-2, -1), keepdims=True))
     X = F / jnp.maximum(norm, 1e-12)
     for _ in range(n_iters):
-        X = 0.5 * (X + _inv_transpose(X))
+        Xn = 0.5 * (X + _inv_transpose(X))
+        ok = jnp.all(jnp.isfinite(Xn) & (jnp.abs(Xn) < 1e6),
+                     axis=(-2, -1), keepdims=True)
+        X = jnp.where(ok, Xn, X)
     return X
 
 

@@ -200,3 +200,38 @@ def test_pipelined_fit_matches_unpipelined():
                                           r_pip.history[k], err_msg=k)
         if early_stop:
             assert r_seq.n_iters < 1200  # the latch actually fired
+
+
+def test_nonfinite_iteration_is_skipped_not_written():
+    """An iteration whose loss (or grad) is non-finite must not write its
+    update: once params go NaN every later iteration is lost (seen in the
+    bunny contact scene at full scale). The solver skips the write and
+    keeps optimizing on the next sample."""
+    def loss(params, key, aux):
+        main = jnp.sum((params - jnp.asarray([1.0, -2.0, 3.0])) ** 2)
+        # ~30% of sample keys produce a poisoned batch
+        poisoned = jax.random.uniform(key) < 0.3
+        return {"main": jnp.where(poisoned, jnp.nan, main)}
+
+    solver = Solver(loss, lr=0.1, max_n_iters=2000, chunk_size=100,
+                    early_stop=False)
+    res = solver.fit(jnp.zeros(3), jax.random.PRNGKey(0))
+    assert np.isnan(res.history["main"]).any()       # poison did occur
+    assert np.all(np.isfinite(np.asarray(res.params)))
+    np.testing.assert_allclose(res.params, [1.0, -2.0, 3.0], atol=1e-2)
+
+
+def test_polar_rotation_finite_for_singular_F():
+    """Collapsed/inverted deformation gradients must yield bounded ARAP
+    gradients (the Newton polar iteration used to blow past f32 range)."""
+    from insr_pde_tpu.ops.svd import arap_energy, polar_rotation
+
+    F = jnp.stack([jnp.eye(3),
+                   jnp.zeros((3, 3)),                      # fully collapsed
+                   jnp.diag(jnp.asarray([1.0, 1.0, 0.0])),  # rank-2
+                   jnp.diag(jnp.asarray([1.0, 1.0, -1e-9]))  # near-inverted
+                   ])
+    R = polar_rotation(F)
+    assert np.all(np.isfinite(np.asarray(R)))
+    g = jax.grad(arap_energy)(F)
+    assert np.all(np.isfinite(np.asarray(g)))
