@@ -33,6 +33,7 @@ Two solve paths, as the reference:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -534,8 +535,17 @@ class VortexModel:
                 stacklevel=2)
         u_flat = self.params.u.reshape(-1)
         res = jnp.nan
+        # Per-stage wall-clock of every Picard iteration (assemble /
+        # whitener / solve), for cost attribution by the probe tools.
+        # The block_until_ready syncs are at program boundaries that the
+        # chunked/host_sync paths already synchronize at, so the
+        # measurement does not change the execution structure.
+        self.picard_timings = []
         for it in range(cfg.picard_iters):
+            t0 = time.perf_counter()
             A, b = assemble_jit(u_flat, *self._pbs())
+            jax.block_until_ready(A.vals)
+            t_assemble = time.perf_counter() - t0
             if cfg.host_sync:
                 # break device-buffer chaining between the assemble and
                 # solve programs (tunneled-backend crash isolation)
@@ -544,6 +554,8 @@ class VortexModel:
                     cols=jnp.asarray(np.asarray(A.cols)),
                     n_blocks=n_blocks)
                 b = jnp.asarray(np.asarray(b))
+            t_whiten = 0.0
+            t0 = time.perf_counter()
             if cfg.cgls_chunk > 0 and solver == "cgls" and self.mesh is None:
                 x, info = cgls_sparse_chunked(
                     A, b, u_flat * cfg.warm_start,
@@ -552,6 +564,7 @@ class VortexModel:
                     precondition=precond, damp=cfg.cgls_damp,
                     restart=cfg.cgls_restart)
                 u_flat, niter = x, info["niter"]
+                t_whiten = info.get("t_whiten", 0.0)
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":
                 if precond == "block" and it == 0:
@@ -577,12 +590,21 @@ class VortexModel:
                 res = residual_jit(A.vals, A.cols, b, x)
             elif precond == "block" and solver == "cgls":
                 from ..ops.linalg import block_whitener_host
+                _tw0 = time.perf_counter()
                 W = block_whitener_host(A)
+                jax.block_until_ready(W)
+                t_whiten = time.perf_counter() - _tw0
                 u_flat, res, niter = solve_block_jit(
                     A.vals, A.cols, b, u_flat * cfg.warm_start, W)
             else:
                 u_flat, res, niter = solve_jit(A.vals, A.cols, b,
                                                u_flat * cfg.warm_start)
+            jax.block_until_ready(u_flat)
+            t_solve = time.perf_counter() - t0 - t_whiten
+            self.picard_timings.append(
+                {"picard": it, "assemble_s": round(t_assemble, 3),
+                 "whiten_s": round(t_whiten, 3),
+                 "solve_s": round(t_solve, 3)})
             if self.tb is not None:
                 self.tb.add_scalars(
                     "vortex_matrix",

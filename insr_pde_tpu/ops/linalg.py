@@ -19,6 +19,7 @@ TPU-native replacements for the reference's three linear-solver backends
 
 from __future__ import annotations
 
+import time
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -546,7 +547,9 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     init, run_chunk, restart_state = _CHUNKED_CACHE[key]
 
     d2 = jnp.asarray(damp * damp, jnp.float32)
+    t_whiten = 0.0
     if precondition == "block":
+        _tw0 = time.perf_counter()
         W = block_whitener_host(A)
         x0np = np.asarray(x0)
         if np.any(x0np):
@@ -559,6 +562,8 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
             y0 = jnp.asarray(y0)
         else:
             y0 = jnp.zeros_like(x0)
+        jax.block_until_ready(W)
+        t_whiten = time.perf_counter() - _tw0
         state, dcol = init(A.vals, A.cols, b, y0, d2, W)
     else:
         state, dcol = init(A.vals, A.cols, b, x0, d2)
@@ -581,7 +586,8 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
         x_out = _block_apply(dcol, y_out)
     else:
         x_out = dcol * y_out
-    return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma)}
+    return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma),
+                   "t_whiten": t_whiten}
 
 
 def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,

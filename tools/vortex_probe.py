@@ -156,6 +156,9 @@ def main():
         t0 = time.time()
         res = model.matrix_solver()
         log(f"stage 2.{it} OK in {time.time() - t0:.1f}s, |Ax-b| = {res:.4e}")
+        for rec in getattr(model, "picard_timings", []):
+            log(f"  breakdown: assemble {rec['assemble_s']}s, "
+                f"whiten {rec['whiten_s']}s, solve {rec['solve_s']}s")
 
     log("stage 3: sample_field + divergence + inlet metrics ...")
     t0 = time.time()
