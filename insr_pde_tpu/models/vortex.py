@@ -161,6 +161,13 @@ class VortexConfig:
     # the basis span — measured round 3 as the binding constraint on the
     # stream form's inlet accuracy.
     poly: int = 0
+    # chunked-CGLS Aᵀr path: run the transpose matvec as a pull-style
+    # gather over a precomputed transpose index (ops/linalg.rmv_gather;
+    # the sparsity pattern is constant across Picard/CGLS iterations so
+    # the index builds once per scene) instead of XLA's segment-sum
+    # scatter. Same math up to f32 summation order. Off = the scatter
+    # path the round-2/3 numbers were measured with.
+    rmv_gather: bool = False
 
 
 class SpaceTimePoints(NamedTuple):
@@ -247,6 +254,7 @@ class VortexModel:
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.cfg = cfg
+        self._rmv_t_idx = None   # lazy transpose-gather index (rmv_gather)
         tmp = RBFConfig(dim=cfg.dim, n_spatial_basis=cfg.n_spatial_basis)
         self.rbf_cfg = RBFConfig(
             dim=cfg.dim, n_vars=cfg.n_variables, n_feat=cfg.n_feat,
@@ -557,12 +565,22 @@ class VortexModel:
             t_whiten = 0.0
             t0 = time.perf_counter()
             if cfg.cgls_chunk > 0 and solver == "cgls" and self.mesh is None:
+                t_idx = None
+                if cfg.rmv_gather:
+                    # the sparsity pattern (cols) is fixed by the scene
+                    # geometry — identical across Picard iterations and
+                    # timesteps — so the transpose gather index is built
+                    # once per model and reused
+                    if self._rmv_t_idx is None:
+                        from ..ops.linalg import build_rmv_gather
+                        self._rmv_t_idx = build_rmv_gather(A.cols, n_blocks)
+                    t_idx = self._rmv_t_idx
                 x, info = cgls_sparse_chunked(
                     A, b, u_flat * cfg.warm_start,
                     maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
                     chunk=cfg.cgls_chunk,
                     precondition=precond, damp=cfg.cgls_damp,
-                    restart=cfg.cgls_restart)
+                    restart=cfg.cgls_restart, t_idx=t_idx)
                 u_flat, niter = x, info["niter"]
                 t_whiten = info.get("t_whiten", 0.0)
                 res = residual_jit(A.vals, A.cols, b, x)

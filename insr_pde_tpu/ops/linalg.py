@@ -379,6 +379,62 @@ class BlockSparse(NamedTuple):
                                  num_segments=self.n_blocks)
         return jnp.sqrt(sq.reshape(-1))
 
+    def rmv_gather(self, r: jax.Array, t_idx: jax.Array,
+                   d_chunk: int = 64) -> jax.Array:
+        """Aᵀ @ r via a precomputed transpose GATHER index instead of the
+        scatter-add in `rmv` (XLA lowers `segment_sum` to a serialized
+        scatter on TPU — the slow path of every CGLS iteration at vortex
+        scale). `t_idx` (n_blocks, D) holds, per block-column, the flat
+        slot indices (row * S + slot) of every row entry addressing it,
+        padded with R*S (resolved to a zero row). Built once per sparsity
+        pattern by `build_rmv_gather`; the pattern is constant across
+        Picard and CGLS iterations, so the build cost amortizes to zero.
+
+        The D axis is processed in `d_chunk` slices under lax.scan so the
+        gathered (n_blocks, d_chunk, J) intermediate stays small."""
+        S = self.cols.shape[1]
+        J = self.bdim
+        v = jnp.concatenate(
+            [self.vals.reshape(-1, J), jnp.zeros((1, J), self.vals.dtype)])
+        r_ext = jnp.concatenate([r, jnp.zeros((1,), r.dtype)])
+        B, D = t_idx.shape
+        pad = (-D) % d_chunk
+        if pad:
+            t_idx = jnp.concatenate(
+                [t_idx, jnp.full((B, pad), v.shape[0] - 1, t_idx.dtype)],
+                axis=1)
+        t = jnp.moveaxis(t_idx.reshape(B, -1, d_chunk), 1, 0)  # (n, B, dc)
+
+        def step(acc, ti):
+            rows = jnp.minimum(ti // S, r_ext.shape[0] - 1)
+            return acc + jnp.einsum("bdj,bd->bj", v[ti], r_ext[rows]), None
+
+        out, _ = jax.lax.scan(step, jnp.zeros((B, J), self.vals.dtype), t)
+        return out.reshape(-1)
+
+
+def build_rmv_gather(cols, n_blocks: int) -> jax.Array:
+    """Host-side transpose index for `BlockSparse.rmv_gather`.
+
+    cols: (R, S) block ids. Returns t_idx (n_blocks, D) int32 where row b
+    lists the flat slot indices (into vals.reshape(R*S, J)) addressing
+    block b, padded with R*S; D = max reverse degree. Padding slots of the
+    operator itself (col=0, vals=0) land in block 0's list and contribute
+    zero — harmless beyond inflating block 0's D.
+    """
+    c = np.asarray(cols).reshape(-1)
+    n = c.shape[0]
+    order = np.argsort(c, kind="stable").astype(np.int64)
+    sorted_c = c[order]
+    counts = np.bincount(c, minlength=n_blocks)
+    D = int(counts.max()) if n else 1
+    starts = np.zeros(n_blocks + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    rank = np.arange(n) - starts[sorted_c]
+    t_idx = np.full((n_blocks, D), n, np.int64)
+    t_idx[sorted_c, rank] = order
+    return jnp.asarray(t_idx.astype(np.int32))
+
 
 def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                 maxiter: int = 500, tol: float = 1e-8,
@@ -404,7 +460,8 @@ def cgls_sparse(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     return cgls(A.mv, A.rmv, b, x0, maxiter=maxiter, tol=tol, damp=damp)
 
 
-def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
+def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter,
+                      gather_rmv=False):
     """Build the (init, run_chunk, restart_state) jitted chunk programs for
     `cgls_sparse_chunked`. Cached at module level (see `_CHUNKED_CACHE`) so
     repeat solves — e.g. one per Picard iteration per timestep — hit the jit
@@ -415,7 +472,18 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
     `precondition`: False/True ("jacobi" column scaling) or "block" (the
     per-site-block eigen-whitener, BlockSparse only — see block_whitener).
     In block mode the "dcol" slot of the state carries W (n_blocks, J, J)
-    and the scaled variable is y with x = W y (W symmetric)."""
+    and the scaled variable is y with x = W y (W symmetric).
+
+    `gather_rmv`: every fn takes a trailing `t_idx` arg (see
+    `build_rmv_gather`) and Aᵀr runs as `rmv_gather` (pull) instead of the
+    segment-sum scatter. When False the trailing arg is accepted and
+    ignored (keeps one call shape in the wrapper); pass t_idx=None."""
+
+    def _rmv(Aop, r, t_idx):
+        if gather_rmv:
+            return Aop.rmv_gather(r, t_idx)
+        return Aop.rmv(r)
+
     mk = lambda vals, cols: op_cls(vals, cols, static_field)
     block_mode = precondition == "block"
 
@@ -427,17 +495,17 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
         # (TPU f32 eigh is unusable for these Gram spectra) and the
         # wrapper passes the already-whitened start y0 directly.
         @jax.jit
-        def init(vals, cols, b, y0, d2, P):
+        def init(vals, cols, b, y0, d2, P, t_idx=None):
             Aop = mk(vals, cols)
             r0 = b - Aop.mv(apply_p(P, y0))
-            s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
+            s0 = apply_p(P, _rmv(Aop, r0, t_idx)) - d2 * y0
             gamma0 = jnp.sum(s0 * s0)
             phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
             return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
                     phi0, y0, phi0), P
     else:
         @jax.jit
-        def init(vals, cols, b, x0, d2):
+        def init(vals, cols, b, x0, d2, t_idx=None):
             Aop = mk(vals, cols)
             if precondition:
                 P = Aop.col_norms()
@@ -448,14 +516,14 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
                 P = jnp.ones((Aop.n_cols,), vals.dtype)
                 y0 = x0
             r0 = b - Aop.mv(apply_p(P, y0))
-            s0 = apply_p(P, Aop.rmv(r0)) - d2 * y0
+            s0 = apply_p(P, _rmv(Aop, r0, t_idx)) - d2 * y0
             gamma0 = jnp.sum(s0 * s0)
             phi0 = jnp.sum(r0 * r0) + d2 * jnp.sum(y0 * y0)
             return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
                     phi0, y0, phi0), P
 
     @jax.jit
-    def restart_state(vals, cols, b, state, dcol, d2):
+    def restart_state(vals, cols, b, state, dcol, d2, t_idx=None):
         """Re-enter CGLS from the current best iterate with an EXACTLY
         recomputed residual (fresh Krylov process). f32 CGLS on the normal
         equations loses conjugacy on ill-conditioned systems; restarting
@@ -465,7 +533,7 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
         y, r, p, gamma, k, phi, by, bphi = state
         y = jnp.where(phi <= bphi, y, by)   # continue from the best point
         r = b - Aop.mv(apply_p(dcol, y))
-        s = apply_p(dcol, Aop.rmv(r)) - d2 * y
+        s = apply_p(dcol, _rmv(Aop, r, t_idx)) - d2 * y
         gamma = jnp.sum(s * s)
         phi = jnp.sum(r * r) + d2 * jnp.sum(y * y)
         better = phi < bphi
@@ -474,7 +542,7 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
         return (y, r, s, gamma, k, phi, by, bphi)
 
     @jax.jit
-    def run_chunk(vals, cols, state, dcol, stop2, d2):
+    def run_chunk(vals, cols, state, dcol, stop2, d2, t_idx=None):
         Aop = mk(vals, cols)
 
         def cond(st):
@@ -489,7 +557,7 @@ def _chunked_cgls_fns(op_cls, static_field, precondition, chunk, maxiter):
             alpha = gamma / jnp.where(denom == 0, 1e-30, denom)
             y = y + alpha * p
             r = r - alpha * q
-            s = apply_p(dcol, Aop.rmv(r)) - d2 * y
+            s = apply_p(dcol, _rmv(Aop, r, t_idx)) - d2 * y
             gamma_new = jnp.sum(s * s)
             beta = gamma_new / jnp.where(gamma == 0, 1e-30, gamma)
             p = s + beta * p
@@ -514,7 +582,8 @@ _CHUNKED_CACHE: dict = {}
 def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                         maxiter: int = 500, tol: float = 1e-8,
                         chunk: int = 200, precondition: bool = True,
-                        damp: float = 0.0, restart: bool = False):
+                        damp: float = 0.0, restart: bool = False,
+                        t_idx: Optional[jax.Array] = None):
     """`cgls_sparse` with the iteration loop split into fixed-size chunk
     programs (host sync between chunks) instead of one long `while_loop`
     program.
@@ -536,12 +605,17 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     systems — the robust mode for the stream-formulation vortex solves,
     whose plain f32 CGLS blows up in solution amplitude (measured,
     COMPARISON.md round 3).
+
+    t_idx (BlockSparse only, from `build_rmv_gather(A.cols, A.n_blocks)`):
+    run every Aᵀr as the pull-style `rmv_gather` instead of the
+    segment-sum scatter. Numerically equivalent up to f32 summation order
+    (NOT bit-identical to the scatter path).
     """
     # n_cols (PaddedSparse) / n_blocks (BlockSparse); a jit-built operator
     # carries it as a (weakly-typed) array leaf — coerce to a hashable int
     static_field = int(A[-1])
     key = (type(A), static_field, precondition, int(chunk),
-           int(maxiter))
+           int(maxiter), t_idx is not None)
     if key not in _CHUNKED_CACHE:
         _CHUNKED_CACHE[key] = _chunked_cgls_fns(*key)
     init, run_chunk, restart_state = _CHUNKED_CACHE[key]
@@ -564,13 +638,13 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
             y0 = jnp.zeros_like(x0)
         jax.block_until_ready(W)
         t_whiten = time.perf_counter() - _tw0
-        state, dcol = init(A.vals, A.cols, b, y0, d2, W)
+        state, dcol = init(A.vals, A.cols, b, y0, d2, W, t_idx)
     else:
-        state, dcol = init(A.vals, A.cols, b, x0, d2)
+        state, dcol = init(A.vals, A.cols, b, x0, d2, t_idx)
     stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
     it = 0
     while True:
-        state = run_chunk(A.vals, A.cols, state, dcol, stop2, d2)
+        state = run_chunk(A.vals, A.cols, state, dcol, stop2, d2, t_idx)
         new_it, gamma = int(state[4]), float(state[3])
         diverged = float(state[5]) >= 1e4 * float(state[7])
         if (new_it >= maxiter or gamma <= float(stop2) or new_it == it
@@ -578,7 +652,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
             break
         it = new_it
         if restart:
-            state = restart_state(A.vals, A.cols, b, state, dcol, d2)
+            state = restart_state(A.vals, A.cols, b, state, dcol, d2, t_idx)
     y, _, _, gamma, k, phi, by, bphi = state
     # final iterate unless diverged — see cgls
     y_out = jnp.where(phi <= 2.0 * bphi, y, by)

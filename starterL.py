@@ -117,6 +117,11 @@ def main(argv=None):
     ap.add_argument("--outlet_v", action="store_true",
                     help="stream form: add fully-developed-outflow rows "
                          "(u_y = 0) along the outlet")
+    ap.add_argument("--rmv_gather", action="store_true",
+                    help="chunked CGLS: run A^T r as a pull-style gather "
+                         "over a precomputed transpose index instead of "
+                         "XLA's scatter-add (same math up to f32 summation "
+                         "order; ops/linalg.rmv_gather)")
     ap.add_argument("--ckpt_path", type=str, default="",
                     help="save the solved coefficients (+ config snapshot) "
                          "here after each round; default "
@@ -166,6 +171,7 @@ def main(argv=None):
         pou_time=args.pou_time, time_window=args.time_window,
         pou_normalize=args.pou_normalize,
         cgls_precondition=args.precondition, outlet_v=args.outlet_v,
+        rmv_gather=args.rmv_gather,
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
     model = cls(cfg)

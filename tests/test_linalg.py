@@ -234,6 +234,71 @@ def test_block_sparse_matches_padded():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_block_sparse_rmv_gather_matches_scatter():
+    """The pull-style transpose matvec (precomputed gather index) is the
+    same Aᵀr as the segment-sum scatter, including with ELL padding slots
+    (col=0, vals=0) and a ragged reverse-degree distribution; the chunked
+    CGLS solve over it lands on the same solution."""
+    from insr_pde_tpu.ops.linalg import (BlockSparse, build_rmv_gather,
+                                         cgls_sparse_chunked)
+
+    R, S, J, NB = 70, 5, 8, 24
+    k = jax.random.split(jax.random.PRNGKey(11), 4)
+    bvals = jax.random.normal(k[0], (R, S, J))
+    bcols = jnp.argsort(jax.random.uniform(k[1], (R, NB)), axis=1)[:, :S]
+    bcols = bcols.astype(jnp.int32)
+    # knock out a raggedy set of slots the way the assembler pads (val=0,
+    # col=0) so block 0's reverse list carries dead entries
+    dead = jax.random.uniform(k[2], (R, S)) < 0.3
+    bvals = jnp.where(dead[:, :, None], 0.0, bvals)
+    bcols = jnp.where(dead, 0, bcols)
+    b = jax.random.normal(k[3], (R,))
+
+    A = BlockSparse(vals=bvals, cols=bcols, n_blocks=NB)
+    t_idx = build_rmv_gather(A.cols, NB)
+    for d_chunk in (64, 7):   # with and without D-axis padding
+        np.testing.assert_allclose(
+            np.asarray(A.rmv_gather(b, t_idx, d_chunk=d_chunk)),
+            np.asarray(A.rmv(b)), rtol=2e-5, atol=1e-5)
+
+    x_scatter, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
+                                       maxiter=200, tol=1e-10)
+    x_gather, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
+                                      maxiter=200, tol=1e-10, t_idx=t_idx)
+    np.testing.assert_allclose(np.asarray(x_gather), np.asarray(x_scatter),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vortex_rmv_gather_config_matches():
+    """VortexConfig(rmv_gather=True) chunked solve reproduces the scatter
+    path's solve on a small velocity-form system."""
+    import os
+    import tempfile
+
+    from insr_pde_tpu.models.vortex import VortexConfig, VortexModel
+
+    def solve(gather):
+        cfg = VortexConfig(
+            collocation_pts_num=40, boundary_num=12, time_num=3,
+            n_spatial_basis=16, picard_iters=1, cgls_maxiter=60,
+            cgls_chunk=25, rmv_gather=gather,
+            log_dir=os.path.join(tempfile.gettempdir(), "t_rmvg"))
+        m = VortexModel(cfg, log=False)
+        res = m.matrix_solver()
+        vals, _ = m.sample_field(8)
+        return res, np.asarray(vals)
+
+    res_s, f_s = solve(False)
+    res_g, f_g = solve(True)
+    # the least-squares functional must agree tightly; the FIELD to the
+    # accuracy the solve determines it. (Raw coefficients are NOT compared:
+    # the system is underdetermined at this scale, so near-null-space
+    # coefficient components are summation-order sensitive by nature.)
+    assert abs(res_s - res_g) <= 5e-3 * max(abs(res_s), 1.0)
+    scale = np.abs(f_s).max()
+    np.testing.assert_allclose(f_g, f_s, atol=2e-2 * scale)
+
+
 def test_block_sparse_sharded_matches_single_device():
     from jax.sharding import Mesh
 

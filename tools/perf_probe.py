@@ -276,6 +276,33 @@ def probe_spmv():
         "mv_gbps": round(bytes_mv / tb_mv / 1e9, 1),
     }), flush=True)
 
+    # block-ELL transpose via precomputed gather index (rmv_gather):
+    # pull-formulation Aᵀr vs the segment-sum scatter, at the reference
+    # scale AND the channel-preset 8x-density scale
+    from insr_pde_tpu.ops.linalg import build_rmv_gather
+    for label, Rg in (("block_ell_ref", R), ("block_ell_8x", 8 * R)):
+        kv, kc, kr = jax.random.split(jax.random.PRNGKey(Rg), 3)
+        gvals = jax.random.normal(kv, (Rg, S, J))
+        gcols = jax.random.randint(kc, (Rg, S), 0, NCOLS // J)
+        gr = jax.random.normal(kr, (Rg,))
+        Bg = BlockSparse(vals=gvals, cols=gcols, n_blocks=NCOLS // J)
+        t_idx = build_rmv_gather(gcols, NCOLS // J)
+        g_scatter = jax.jit(lambda r: Bg.rmv(r))
+        g_gather = jax.jit(lambda r, t: Bg.rmv_gather(r, t))
+        ts = _time_steps(lambda: jax.block_until_ready(g_scatter(gr)), n=10)
+        tg = _time_steps(
+            lambda: jax.block_until_ready(g_gather(gr, t_idx)), n=10)
+        gmv = jax.jit(lambda x: Bg.mv(x))
+        tm = _time_steps(lambda: jax.block_until_ready(gmv(x)), n=10)
+        print(json.dumps({
+            "probe": "spmv", "layout": label, "rows": Rg,
+            "reverse_degree_D": int(t_idx.shape[1]),
+            "mv_ms": round(tm * 1e3, 3),
+            "rmv_scatter_ms": round(ts * 1e3, 3),
+            "rmv_gather_ms": round(tg * 1e3, 3),
+            "rmv_gather_speedup": round(ts / tg, 2),
+        }), flush=True)
+
 
 def probe_precision():
     """MXU pass count (default=1, high=3, highest=6 bf16 passes) on the
