@@ -217,6 +217,32 @@ def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int,
     return G
 
 
+def block_gram_gather(vals: jax.Array, t_idx: jax.Array,
+                      d_chunk: int = 64) -> jax.Array:
+    """`block_gram` over a precomputed transpose index (build_rmv_gather):
+    G[b] = sum of outer(v[slot]) over the slots addressing block b —
+    gather + batched contraction instead of the scatter-add, same
+    motivation as `BlockSparse.rmv_gather`. Padding indices resolve to a
+    zero row."""
+    J = vals.shape[-1]
+    v = jnp.concatenate(
+        [vals.reshape(-1, J), jnp.zeros((1, J), vals.dtype)])
+    B, D = t_idx.shape
+    pad = (-D) % d_chunk
+    if pad:
+        t_idx = jnp.concatenate(
+            [t_idx, jnp.full((B, pad), v.shape[0] - 1, t_idx.dtype)],
+            axis=1)
+    t = jnp.moveaxis(t_idx.reshape(B, -1, d_chunk), 1, 0)
+
+    def step(acc, ti):
+        g = v[ti]                                  # (B, dc, J)
+        return acc + jnp.einsum("bdi,bdj->bij", g, g), None
+
+    G, _ = jax.lax.scan(step, jnp.zeros((B, J, J), vals.dtype), t)
+    return G
+
+
 def block_whitener(vals: jax.Array, cols: jax.Array, n_blocks: int,
                    eig_floor: float = 1e-6) -> jax.Array:
     """Symmetric per-block whitener W[b] = V diag(1/sqrt(clip(w))) Vᵀ from
@@ -253,7 +279,8 @@ def _block_apply(W: jax.Array, y: jax.Array) -> jax.Array:
 _GRAM_JIT: dict = {}
 
 
-def block_whitener_host(A, eig_floor: float = 1e-6) -> jax.Array:
+def block_whitener_host(A, eig_floor: float = 1e-6,
+                        t_idx: Optional[jax.Array] = None) -> jax.Array:
     """`block_whitener` with the eigendecomposition on the HOST in float64.
 
     TPU f32 `eigh` is far too inaccurate for the near-singular RBF Gram
@@ -263,11 +290,19 @@ def block_whitener_host(A, eig_floor: float = 1e-6) -> jax.Array:
     The Gram reduce (the data-sized part) stays a jitted device program;
     only the (n_blocks, J, J) blocks move to host (~1 MB at reference
     scale, once per solve). MUST be called outside jit (host transfer).
+
+    With `t_idx` the Gram accumulation runs as `block_gram_gather` (pull)
+    instead of the segment-sum scatter.
     """
     nb = int(A[-1])
-    if nb not in _GRAM_JIT:
-        _GRAM_JIT[nb] = jax.jit(lambda v, c: block_gram(v, c, nb))
-    G = np.asarray(_GRAM_JIT[nb](A.vals, A.cols)).astype(np.float64)
+    key = (nb, t_idx is not None)
+    if key not in _GRAM_JIT:
+        if t_idx is None:
+            _GRAM_JIT[key] = jax.jit(lambda v, c: block_gram(v, c, nb))
+        else:
+            _GRAM_JIT[key] = jax.jit(block_gram_gather)
+    arg2 = A.cols if t_idx is None else t_idx
+    G = np.asarray(_GRAM_JIT[key](A.vals, arg2)).astype(np.float64)
     w, V = np.linalg.eigh(G)
     wmax = np.maximum(w[:, -1:], 0.0)
     denom = np.maximum(w, np.maximum(eig_floor * wmax, 1e-300))
@@ -624,7 +659,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     t_whiten = 0.0
     if precondition == "block":
         _tw0 = time.perf_counter()
-        W = block_whitener_host(A)
+        W = block_whitener_host(A, t_idx=t_idx)
         x0np = np.asarray(x0)
         if np.any(x0np):
             # y0 solves W y0 = x0 — on host in f64 (W is near-singular by

@@ -261,12 +261,30 @@ def test_block_sparse_rmv_gather_matches_scatter():
             np.asarray(A.rmv_gather(b, t_idx, d_chunk=d_chunk)),
             np.asarray(A.rmv(b)), rtol=2e-5, atol=1e-5)
 
+    # the whitener's Gram blocks through the same index
+    from insr_pde_tpu.ops.linalg import block_gram, block_gram_gather
+    np.testing.assert_allclose(
+        np.asarray(block_gram_gather(A.vals, t_idx, d_chunk=7)),
+        np.asarray(block_gram(A.vals, A.cols, NB)), rtol=2e-5, atol=1e-5)
+
     x_scatter, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
                                        maxiter=200, tol=1e-10)
     x_gather, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
                                       maxiter=200, tol=1e-10, t_idx=t_idx)
     np.testing.assert_allclose(np.asarray(x_gather), np.asarray(x_scatter),
                                rtol=1e-4, atol=1e-5)
+
+    # block-whitened path: t_idx also routes the whitener's Gram reduce.
+    # The system is underdetermined (R rows < NB*J unknowns) so iterates
+    # may differ in the nullspace; the predictions A x must agree.
+    xw_s, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
+                                  maxiter=200, tol=1e-10,
+                                  precondition="block")
+    xw_g, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=17,
+                                  maxiter=200, tol=1e-10,
+                                  precondition="block", t_idx=t_idx)
+    np.testing.assert_allclose(np.asarray(A.mv(xw_g)), np.asarray(A.mv(xw_s)),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_vortex_rmv_gather_config_matches():
