@@ -531,16 +531,6 @@ class VortexModel:
                 "cgls_precondition='block' only applies to solver='cgls'; "
                 "the normal-equations cg path runs unwhitened.",
                 stacklevel=2)
-        if cfg.cgls_chunk > 0 and self.mesh is not None and solver == "cgls":
-            # the sharded path runs one long shard_map while_loop program —
-            # exactly what cgls_chunk exists to avoid on fragile backends.
-            # Don't let the flag silently do nothing (ADVICE r2).
-            import warnings
-            warnings.warn(
-                "cgls_chunk > 0 is ignored on the mesh-sharded CGLS path: "
-                "the sharded solve runs as one while_loop program. Drop the "
-                "mesh (single-chip chunked solve) or set cgls_chunk=0.",
-                stacklevel=2)
         u_flat = self.params.u.reshape(-1)
         res = jnp.nan
         # Per-stage wall-clock of every Picard iteration (assemble /
@@ -585,23 +575,38 @@ class VortexModel:
                 t_whiten = info.get("t_whiten", 0.0)
                 res = residual_jit(A.vals, A.cols, b, x)
             elif self.mesh is not None and solver == "cgls":
-                if precond == "block" and it == 0:
-                    # same silent-no-op hazard as cgls_chunk above: the
-                    # sharded solve has no whitener, and the whitener is
-                    # exactly what makes f32 CGLS converge on these Gram
-                    # spectra (COMPARISON.md)
-                    import warnings
-                    warnings.warn(
-                        "cgls_precondition='block' is ignored on the "
-                        "mesh-sharded CGLS path (no whitener there yet); "
-                        "drop the mesh for the whitened single-chip solve.",
-                        stacklevel=2)
-                # rows sharded over the mesh, psum over ICI
-                x, info = cgls_sparse_sharded(
-                    self.mesh, self.mesh_axis, A, b,
-                    u_flat * cfg.warm_start,
-                    maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
-                    damp=cfg.cgls_damp)
+                if cfg.cgls_chunk > 0:
+                    # rows sharded over the mesh AND bounded per-program
+                    # duration — chunked shard_map programs with host sync
+                    # between (ops/linalg.cgls_sparse_sharded_chunked);
+                    # supports the block whitener (Gram psum'd over row
+                    # shards, host-f64 eigh)
+                    from ..ops.linalg import cgls_sparse_sharded_chunked
+                    x, info = cgls_sparse_sharded_chunked(
+                        self.mesh, self.mesh_axis, A, b,
+                        u_flat * cfg.warm_start,
+                        maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
+                        chunk=cfg.cgls_chunk, precondition=precond,
+                        damp=cfg.cgls_damp, restart=cfg.cgls_restart)
+                    t_whiten = info.get("t_whiten", 0.0)
+                else:
+                    if precond == "block" and it == 0:
+                        # the single-program sharded solve has no whitener,
+                        # and the whitener is exactly what makes f32 CGLS
+                        # converge on these Gram spectra (COMPARISON.md) —
+                        # don't let the flag silently do nothing (ADVICE r2)
+                        import warnings
+                        warnings.warn(
+                            "cgls_precondition='block' is ignored on the "
+                            "single-program mesh-sharded CGLS path; set "
+                            "cgls_chunk > 0 for the whitened sharded solve.",
+                            stacklevel=2)
+                    # rows sharded over the mesh, psum over ICI
+                    x, info = cgls_sparse_sharded(
+                        self.mesh, self.mesh_axis, A, b,
+                        u_flat * cfg.warm_start,
+                        maxiter=cfg.cgls_maxiter, tol=cfg.cgls_tol,
+                        damp=cfg.cgls_damp)
                 # report |Ax - b| like the unsharded branch (info carries
                 # |Aᵀr|, a different quantity — logs must be comparable)
                 u_flat, niter = x, info["niter"]

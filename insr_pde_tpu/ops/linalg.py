@@ -417,9 +417,15 @@ class BlockSparse(NamedTuple):
     def rmv_gather(self, r: jax.Array, t_idx: jax.Array,
                    d_chunk: int = 64) -> jax.Array:
         """Aᵀ @ r via a precomputed transpose GATHER index instead of the
-        scatter-add in `rmv` (XLA lowers `segment_sum` to a serialized
-        scatter on TPU — the slow path of every CGLS iteration at vortex
-        scale). `t_idx` (n_blocks, D) holds, per block-column, the flat
+        scatter-add in `rmv`.
+
+        MEASURED NEGATIVE RESULT (TPU, reference scale, COMPARISON.md):
+        2.7x SLOWER than the segment-sum scatter — the pull path pays
+        max-reverse-degree padding per block column while the scatter
+        touches exactly the nonzeros. Kept as an opt-in experiment
+        (`--rmv_gather`); the scatter is the production default.
+
+        `t_idx` (n_blocks, D) holds, per block-column, the flat
         slot indices (row * S + slot) of every row entry addressing it,
         padded with R*S (resolved to a zero row). Built once per sparsity
         pattern by `build_rmv_gather`; the pattern is constant across
@@ -742,3 +748,247 @@ def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
 
     x, resnorm, niter = run(vals, cols, b_p, x0)
     return x, {"resnorm": resnorm, "niter": niter}
+
+
+def _sharded_chunked_cgls_fns(mesh, axis: str, op_cls, static_field,
+                              precondition, chunk: int, maxiter: int):
+    """Chunk programs for `cgls_sparse_sharded_chunked`: the same
+    (init, run_chunk, restart_state) triple as `_chunked_cgls_fns`, each a
+    jitted `shard_map` over `mesh` with the ELL rows (vals/cols/b) and the
+    row-space residual r sharded along `axis` and everything in column
+    space replicated. The two row-space reductions per iteration (Aᵀr and
+    the q/r inner products) psum over ICI; iterate/freeze/divergence
+    semantics match the single-chip chunk programs exactly.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mk = lambda vals, cols: op_cls(vals, cols, static_field)
+    block_mode = precondition == "block"
+
+    def apply_p(Pm, v):
+        return _block_apply(Pm, v) if block_mode else Pm * v
+
+    def psum(v):
+        return jax.lax.psum(v, axis)
+
+    # state: (y repl, r SHARDED, p repl, gamma, k, phi, by, bphi)
+    ST = (P(), P(axis), P(), P(), P(), P(), P(), P())
+    smap = partial(shard_map, mesh=mesh, check_rep=False)
+
+    if block_mode:
+        # W from the host-f64 eigen-whitener (Gram psum'd over row shards
+        # by `_sharded_block_gram`); y0 pre-whitened by the wrapper.
+        @jax.jit
+        @partial(smap, in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                 out_specs=(ST, P()))
+        def init(vals, cols, b, y0, d2, W):
+            Aop = mk(vals, cols)
+            r0 = b - Aop.mv(apply_p(W, y0))
+            s0 = apply_p(W, psum(Aop.rmv(r0))) - d2 * y0
+            gamma0 = jnp.sum(s0 * s0)
+            phi0 = psum(jnp.sum(r0 * r0)) + d2 * jnp.sum(y0 * y0)
+            return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                    phi0, y0, phi0), W
+    else:
+        @jax.jit
+        @partial(smap, in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                 out_specs=(ST, P()))
+        def init(vals, cols, b, x0, d2):
+            Aop = mk(vals, cols)
+            if precondition:
+                # global column norms: local sum of squares, psum'd
+                if isinstance(Aop, BlockSparse):
+                    sq = jax.ops.segment_sum(
+                        (Aop.vals ** 2).reshape(-1, Aop.bdim),
+                        Aop.cols.reshape(-1), num_segments=Aop.n_blocks)
+                    Pm = jnp.sqrt(psum(sq.reshape(-1)))
+                else:
+                    sq = jax.ops.segment_sum(
+                        (Aop.vals ** 2).reshape(-1), Aop.cols.reshape(-1),
+                        num_segments=Aop.n_cols)
+                    Pm = jnp.sqrt(psum(sq))
+                Pm = jnp.where(Pm > 1e-6 * jnp.max(Pm), 1.0 / Pm, 0.0)
+                y0 = x0 / jnp.where(Pm == 0, 1.0, Pm)
+            else:
+                Pm = jnp.ones((Aop.n_cols,), vals.dtype)
+                y0 = x0
+            r0 = b - Aop.mv(apply_p(Pm, y0))
+            s0 = apply_p(Pm, psum(Aop.rmv(r0))) - d2 * y0
+            gamma0 = jnp.sum(s0 * s0)
+            phi0 = psum(jnp.sum(r0 * r0)) + d2 * jnp.sum(y0 * y0)
+            return (y0, r0, s0, gamma0, jnp.asarray(0, jnp.int32),
+                    phi0, y0, phi0), Pm
+
+    @jax.jit
+    @partial(smap, in_specs=(P(axis), P(axis), P(axis), ST, P(), P()),
+             out_specs=ST)
+    def restart_state(vals, cols, b, state, dcol, d2):
+        Aop = mk(vals, cols)
+        y, r, p, gamma, k, phi, by, bphi = state
+        y = jnp.where(phi <= bphi, y, by)
+        r = b - Aop.mv(apply_p(dcol, y))
+        s = apply_p(dcol, psum(Aop.rmv(r))) - d2 * y
+        gamma = jnp.sum(s * s)
+        phi = psum(jnp.sum(r * r)) + d2 * jnp.sum(y * y)
+        better = phi < bphi
+        by = jnp.where(better, y, by)
+        bphi = jnp.where(better, phi, bphi)
+        return (y, r, s, gamma, k, phi, by, bphi)
+
+    @jax.jit
+    @partial(smap, in_specs=(P(axis), P(axis), ST, P(), P(), P()),
+             out_specs=ST)
+    def run_chunk(vals, cols, state, dcol, stop2, d2):
+        Aop = mk(vals, cols)
+
+        def cond(st):
+            y, r, p, gamma, k, phi, by, bphi, j = st
+            return ((gamma > stop2) & (j < chunk) & (k < maxiter)
+                    & (phi < 1e4 * bphi))
+
+        def step(st):
+            y, r, p, gamma, k, phi, by, bphi, j = st
+            q = Aop.mv(apply_p(dcol, p))
+            denom = psum(jnp.sum(q * q)) + d2 * jnp.sum(p * p)
+            alpha = gamma / jnp.where(denom == 0, 1e-30, denom)
+            y = y + alpha * p
+            r = r - alpha * q
+            s = apply_p(dcol, psum(Aop.rmv(r))) - d2 * y
+            gamma_new = jnp.sum(s * s)
+            beta = gamma_new / jnp.where(gamma == 0, 1e-30, gamma)
+            p = s + beta * p
+            phi = psum(jnp.sum(r * r)) + d2 * jnp.sum(y * y)
+            better = phi < bphi
+            by = jnp.where(better, y, by)
+            bphi = jnp.where(better, phi, bphi)
+            return (y, r, p, gamma_new, k + 1, phi, by, bphi, j + 1)
+
+        y, r, p, gamma, k, phi, by, bphi = state
+        y, r, p, gamma, k, phi, by, bphi, _ = jax.lax.while_loop(
+            cond, step, (y, r, p, gamma, k, phi, by, bphi,
+                         jnp.asarray(0, jnp.int32)))
+        return (y, r, p, gamma, k, phi, by, bphi)
+
+    return init, run_chunk, restart_state
+
+
+_SHARDED_CHUNKED_CACHE: dict = {}
+_SHARDED_GRAM_JIT: dict = {}
+
+
+def _sharded_block_gram(mesh, axis: str, A) -> jax.Array:
+    """Per-block Gram blocks of a row-sharded BlockSparse: local
+    `block_gram` over each row shard, psum'd over `axis`."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    nb = int(A[-1])
+    key = (mesh, axis, nb)
+    if key not in _SHARDED_GRAM_JIT:
+        @jax.jit
+        @partial(shard_map, mesh=mesh, check_rep=False,
+                 in_specs=(P(axis), P(axis)), out_specs=P())
+        def gram(vals, cols):
+            return jax.lax.psum(block_gram(vals, cols, nb), axis)
+        _SHARDED_GRAM_JIT[key] = gram
+    return _SHARDED_GRAM_JIT[key](A.vals, A.cols)
+
+
+def cgls_sparse_sharded_chunked(mesh, axis: str, A: PaddedSparse,
+                                b: jax.Array, x0: jax.Array,
+                                maxiter: int = 500, tol: float = 1e-8,
+                                chunk: int = 200, precondition=True,
+                                damp: float = 0.0, restart: bool = False):
+    """`cgls_sparse_chunked` over a row-sharded device mesh — the
+    multi-chip production path for the vortex space-time solve.
+
+    Combines the two solver features that previously excluded each other
+    (models/vortex.py round-2 advisory #4): the row-sharded CGLS layout of
+    `cgls_sparse_sharded` (A@x local per shard, Aᵀr + inner products psum
+    over ICI) AND the bounded per-program duration of the chunked solver
+    (fragile tunneled backends die on long single programs — CLAUDE.md).
+    Also extends the block eigen-whitener to the mesh path: the Gram
+    blocks reduce per-shard on device (psum), the eigendecomposition runs
+    on host in f64 exactly as `block_whitener_host`.
+
+    Iterates match the single-chip chunked solver to f32 summation-order
+    tolerance (the psum reduction tree reorders the row-space sums; the
+    chunk/freeze/divergence logic is identical). The reference has no
+    distributed solver of any kind (SURVEY §2.13: single GPU + CPU scipy
+    lsqr at vortex/model.py:465).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    R = A.vals.shape[0]
+    pad = (-R) % n_dev
+    if pad:  # zero rows: mv contributes 0, b rows 0 -> r rows 0
+        A = A._replace(
+            vals=jnp.pad(A.vals, ((0, pad),) + ((0, 0),) * (A.vals.ndim - 1)),
+            cols=jnp.pad(A.cols, ((0, pad),) + ((0, 0),) * (A.cols.ndim - 1)))
+        b = jnp.pad(b, (0, pad))
+    # place the row data once so every chunk program reuses the layout
+    shard_rows = NamedSharding(mesh, P(axis))
+    vals = jax.device_put(A.vals, shard_rows)
+    cols = jax.device_put(A.cols, shard_rows)
+    b = jax.device_put(b, shard_rows)
+
+    static_field = int(A[-1])
+    key = (mesh, axis, type(A), static_field, precondition, int(chunk),
+           int(maxiter))
+    if key not in _SHARDED_CHUNKED_CACHE:
+        _SHARDED_CHUNKED_CACHE[key] = _sharded_chunked_cgls_fns(
+            mesh, axis, type(A), static_field, precondition, chunk, maxiter)
+    init, run_chunk, restart_state = _SHARDED_CHUNKED_CACHE[key]
+
+    d2 = jnp.asarray(damp * damp, jnp.float32)
+    t_whiten = 0.0
+    if precondition == "block":
+        _tw0 = time.perf_counter()
+        G = np.asarray(_sharded_block_gram(mesh, axis,
+                                           A._replace(vals=vals, cols=cols))
+                       ).astype(np.float64)
+        w, V = np.linalg.eigh(G)
+        wmax = np.maximum(w[:, -1:], 0.0)
+        denom = np.maximum(w, np.maximum(1e-6 * wmax, 1e-300))
+        Wn = np.einsum("bij,bj,bkj->bik", V, 1.0 / np.sqrt(denom), V)
+        Wn[wmax[:, 0] <= 0.0] = np.eye(G.shape[-1])
+        W = jnp.asarray(Wn.astype(np.float32))
+        x0np = np.asarray(x0)
+        if np.any(x0np):
+            y0 = np.linalg.solve(
+                Wn, x0np.astype(np.float64).reshape(static_field, -1)
+                [..., None])[..., 0].reshape(-1).astype(np.float32)
+            y0 = jnp.asarray(y0)
+        else:
+            y0 = jnp.zeros_like(x0)
+        jax.block_until_ready(W)
+        t_whiten = time.perf_counter() - _tw0
+        state, dcol = init(vals, cols, b, y0, d2, W)
+    else:
+        state, dcol = init(vals, cols, b, x0, d2)
+    stop2 = jnp.asarray((tol ** 2) * float(state[3]), jnp.float32)
+    it = 0
+    while True:
+        state = run_chunk(vals, cols, state, dcol, stop2, d2)
+        new_it, gamma = int(state[4]), float(state[3])
+        diverged = float(state[5]) >= 1e4 * float(state[7])
+        if (new_it >= maxiter or gamma <= float(stop2) or new_it == it
+                or diverged):
+            break
+        it = new_it
+        if restart:
+            state = restart_state(vals, cols, b, state, dcol, d2)
+    y, _, _, gamma, k, phi, by, bphi = state
+    y_out = jnp.where(phi <= 2.0 * bphi, y, by)
+    if precondition == "block":
+        x_out = _block_apply(dcol, y_out)
+    else:
+        x_out = dcol * y_out
+    return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma),
+                   "t_whiten": t_whiten}

@@ -121,7 +121,9 @@ def main(argv=None):
                     help="chunked CGLS: run A^T r as a pull-style gather "
                          "over a precomputed transpose index instead of "
                          "XLA's scatter-add (same math up to f32 summation "
-                         "order; ops/linalg.rmv_gather)")
+                         "order; ops/linalg.rmv_gather). EXPERIMENT: "
+                         "measured 2.7x slower than the scatter on TPU at "
+                         "reference scale (COMPARISON.md)")
     ap.add_argument("--ckpt_path", type=str, default="",
                     help="save the solved coefficients (+ config snapshot) "
                          "here after each round; default "

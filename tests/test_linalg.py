@@ -463,3 +463,74 @@ def test_cgls_block_precondition_paths():
     x3, _ = cgls_block_precond(A, b, x0, maxiter=400, tol=1e-12, W=W)
     r3 = float(jnp.linalg.norm(A.mv(x3) - b))
     assert r3 < 1e-3 * nb_
+
+
+def _random_block_sparse(key, R, S, J, NB):
+    """Distinct block columns per row (the assembly invariant) — random
+    repeated columns make AᵀA artificially ill-conditioned and f32 CGLS
+    then never converges, which makes cross-layout comparisons moot."""
+    kv, kc = jax.random.split(key)
+    bvals = jax.random.normal(kv, (R, S, J))
+    bcols = jnp.stack([
+        jax.random.permutation(jax.random.fold_in(kc, i), NB)[:S]
+        for i in range(R)])
+    from insr_pde_tpu.ops.linalg import BlockSparse
+    return BlockSparse(vals=bvals, cols=bcols, n_blocks=NB)
+
+
+def test_sharded_chunked_matches_single_chip():
+    """cgls_sparse_sharded_chunked (8-device row-sharded chunk programs)
+    reproduces the single-chip chunked solve — jacobi and block-whitened
+    preconditioning, fresh and restart modes. Damped so the regularized
+    LS solution is unique and both solves fully converge (two unconverged
+    f32 CGLS runs under different psum reduction orders legitimately
+    drift apart)."""
+    from jax.sharding import Mesh
+
+    from insr_pde_tpu.ops.linalg import (cgls_sparse_chunked,
+                                         cgls_sparse_sharded_chunked)
+
+    R, S, J, NB = 120, 4, 6, 11        # overdetermined: R > NB*J = 66
+    A = _random_block_sparse(jax.random.PRNGKey(7), R, S, J, NB)
+    b = jax.random.normal(jax.random.PRNGKey(8), (R,))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    x0 = jnp.zeros(NB * J)
+
+    for precond in (True, "block"):
+        x_ref, info_ref = cgls_sparse_chunked(
+            A, b, x0, chunk=17, maxiter=400, tol=1e-12, damp=1e-3,
+            precondition=precond)
+        x_sh, info_sh = cgls_sparse_sharded_chunked(
+            mesh, "rows", A, b, x0, chunk=17, maxiter=400, tol=1e-12,
+            damp=1e-3, precondition=precond)
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"precond={precond}")
+
+    # restart mode runs and converges to the same solution
+    x_rs, _ = cgls_sparse_sharded_chunked(
+        mesh, "rows", A, b, x0, chunk=17, maxiter=400, tol=1e-12,
+        damp=1e-3, precondition=True, restart=True)
+    np.testing.assert_allclose(np.asarray(x_rs), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_chunked_ragged_rows_pad():
+    """Row counts not divisible by the mesh size are zero-padded; the
+    padding must not perturb the solution."""
+    from jax.sharding import Mesh
+
+    from insr_pde_tpu.ops.linalg import (cgls_sparse_chunked,
+                                         cgls_sparse_sharded_chunked)
+
+    R, S, J, NB = 101, 3, 4, 7         # 101 % 8 != 0
+    A = _random_block_sparse(jax.random.PRNGKey(11), R, S, J, NB)
+    b = jax.random.normal(jax.random.PRNGKey(12), (R,))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    x_ref, _ = cgls_sparse_chunked(A, b, jnp.zeros(NB * J), chunk=20,
+                                   maxiter=400, tol=1e-12, damp=1e-3)
+    x_sh, _ = cgls_sparse_sharded_chunked(
+        mesh, "rows", A, b, jnp.zeros(NB * J), chunk=20, maxiter=400,
+        tol=1e-12, damp=1e-3)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-3)

@@ -583,3 +583,25 @@ def test_stream_normalized_channel_is_credible():
     # the flow must be bounded everywhere (no between-collocation spikes)
     speed = np.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
     assert float(speed.max()) < 10.0, float(speed.max())
+
+
+def test_vortex_sharded_chunked_block_solve_matches_single_chip():
+    """mesh + cgls_chunk + block whitener together (the round-3 sharded
+    production path — previously the three features excluded each other):
+    the row-sharded chunked whitened solve matches the single-chip chunked
+    whitened solve."""
+    from jax.sharding import Mesh
+    cfg = VortexConfig(
+        collocation_pts_num=48, boundary_num=16, time_num=2,
+        n_spatial_basis=16, n_feat=4, neighbor_k=4, band_width=2.0,
+        internal_v=1.0, rho=1.0, cgls_maxiter=300, picard_iters=1,
+        pou="hat", cgls_damp=0.01, cgls_chunk=40,
+        cgls_precondition="block", seed=13)
+    m1 = VortexModel(cfg, log=False)
+    m1.matrix_solver()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    m2 = VortexModel(cfg, log=False, mesh=mesh)
+    m2.matrix_solver()
+    u1, u2 = np.asarray(m1.params.u), np.asarray(m2.params.u)
+    rel = np.linalg.norm(u1 - u2) / np.linalg.norm(u1)
+    assert rel < 2e-2, rel
