@@ -720,7 +720,7 @@ def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
     from functools import partial
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis]
     R = A.vals.shape[0]
@@ -763,7 +763,7 @@ def _sharded_chunked_cgls_fns(mesh, axis: str, op_cls, static_field,
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mk = lambda vals, cols: op_cls(vals, cols, static_field)
     block_mode = precondition == "block"
@@ -776,7 +776,7 @@ def _sharded_chunked_cgls_fns(mesh, axis: str, op_cls, static_field,
 
     # state: (y repl, r SHARDED, p repl, gamma, k, phi, by, bphi)
     ST = (P(), P(axis), P(), P(), P(), P(), P(), P())
-    smap = partial(shard_map, mesh=mesh, check_rep=False)
+    smap = partial(shard_map, mesh=mesh, check_vma=False)
 
     if block_mode:
         # W from the host-f64 eigen-whitener (Gram psum'd over row shards
@@ -885,13 +885,13 @@ def _sharded_block_gram(mesh, axis: str, A) -> jax.Array:
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     nb = int(A[-1])
     key = (mesh, axis, nb)
     if key not in _SHARDED_GRAM_JIT:
         @jax.jit
-        @partial(shard_map, mesh=mesh, check_rep=False,
+        @partial(shard_map, mesh=mesh, check_vma=False,
                  in_specs=(P(axis), P(axis)), out_specs=P())
         def gram(vals, cols):
             return jax.lax.psum(block_gram(vals, cols, nb), axis)
