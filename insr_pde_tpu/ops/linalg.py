@@ -303,12 +303,31 @@ def block_whitener_host(A, eig_floor: float = 1e-6,
             _GRAM_JIT[key] = jax.jit(block_gram_gather)
     arg2 = A.cols if t_idx is None else t_idx
     G = np.asarray(_GRAM_JIT[key](A.vals, arg2)).astype(np.float64)
+    return jnp.asarray(_whiten_from_gram(G, eig_floor).astype(np.float32))
+
+
+def _whiten_from_gram(G: np.ndarray, eig_floor: float = 1e-6) -> np.ndarray:
+    """Host-f64 inverse-sqrt factor of per-block Gram matrices:
+    W = V diag(1/sqrt(max(w, floor*wmax))) Vᵀ, identity for zero blocks."""
     w, V = np.linalg.eigh(G)
     wmax = np.maximum(w[:, -1:], 0.0)
     denom = np.maximum(w, np.maximum(eig_floor * wmax, 1e-300))
     W = np.einsum("bij,bj,bkj->bik", V, 1.0 / np.sqrt(denom), V)
     W[wmax[:, 0] <= 0.0] = np.eye(G.shape[-1])
-    return jnp.asarray(W.astype(np.float32))
+    return W
+
+
+def _prewhiten_x0(W_f64: np.ndarray, x0: jax.Array,
+                  n_blocks: int) -> jax.Array:
+    """y0 solving W y0 = x0 per block, on host in f64 (W is near-singular
+    by construction; a device f32 solve can blow up the warm start)."""
+    x0np = np.asarray(x0)
+    if not np.any(x0np):
+        return jnp.zeros_like(x0)
+    y0 = np.linalg.solve(
+        W_f64, x0np.astype(np.float64).reshape(n_blocks, -1)[..., None]
+    )[..., 0].reshape(-1).astype(np.float32)
+    return jnp.asarray(y0)
 
 
 def cgls_block_precond(A, b: jax.Array, x0: jax.Array,
@@ -666,17 +685,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     if precondition == "block":
         _tw0 = time.perf_counter()
         W = block_whitener_host(A, t_idx=t_idx)
-        x0np = np.asarray(x0)
-        if np.any(x0np):
-            # y0 solves W y0 = x0 — on host in f64 (W is near-singular by
-            # construction; a device f32 solve can blow up the warm start)
-            y0 = np.linalg.solve(
-                np.asarray(W, np.float64),
-                x0np.astype(np.float64).reshape(static_field, -1)[..., None]
-            )[..., 0].reshape(-1).astype(np.float32)
-            y0 = jnp.asarray(y0)
-        else:
-            y0 = jnp.zeros_like(x0)
+        y0 = _prewhiten_x0(np.asarray(W, np.float64), x0, static_field)
         jax.block_until_ready(W)
         t_whiten = time.perf_counter() - _tw0
         state, dcol = init(A.vals, A.cols, b, y0, d2, W, t_idx)
@@ -953,20 +962,9 @@ def cgls_sparse_sharded_chunked(mesh, axis: str, A: PaddedSparse,
         G = np.asarray(_sharded_block_gram(mesh, axis,
                                            A._replace(vals=vals, cols=cols))
                        ).astype(np.float64)
-        w, V = np.linalg.eigh(G)
-        wmax = np.maximum(w[:, -1:], 0.0)
-        denom = np.maximum(w, np.maximum(1e-6 * wmax, 1e-300))
-        Wn = np.einsum("bij,bj,bkj->bik", V, 1.0 / np.sqrt(denom), V)
-        Wn[wmax[:, 0] <= 0.0] = np.eye(G.shape[-1])
+        Wn = _whiten_from_gram(G)
         W = jnp.asarray(Wn.astype(np.float32))
-        x0np = np.asarray(x0)
-        if np.any(x0np):
-            y0 = np.linalg.solve(
-                Wn, x0np.astype(np.float64).reshape(static_field, -1)
-                [..., None])[..., 0].reshape(-1).astype(np.float32)
-            y0 = jnp.asarray(y0)
-        else:
-            y0 = jnp.zeros_like(x0)
+        y0 = _prewhiten_x0(Wn, x0, static_field)
         jax.block_until_ready(W)
         t_whiten = time.perf_counter() - _tw0
         state, dcol = init(vals, cols, b, y0, d2, W)
