@@ -43,6 +43,15 @@ class Config:
     sample_resolution: int = 128
     vis_resolution: int = 500
     early_stop: bool = True
+    # ReduceLROnPlateau schedule. Defaults = the reference's hard-coded
+    # torch scheduler (base/baseModel.py:55-62: factor 0.1, patience 500,
+    # rel threshold 1e-4). Tightening these (more patience, smaller
+    # threshold) trades iterations for a lower per-solve floor — cheap on
+    # the TPU where the compiled iteration is ~0.35 ms (COMPARISON.md) and
+    # the per-solve floor is what accumulates over a multi-step horizon.
+    plateau_patience: int = 500
+    plateau_threshold: float = 1e-4
+    plateau_factor: float = 0.1
 
     # timestep (reference config.py:119-125)
     init_cond: Optional[str] = None
@@ -177,6 +186,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("-sr", "--sample_resolution", type=int, default=128)
     p.add_argument("-vr", "--vis_resolution", type=int, default=500)
     p.add_argument("--early_stop", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--plateau_patience", type=int, default=500)
+    p.add_argument("--plateau_threshold", type=float, default=1e-4)
+    p.add_argument("--plateau_factor", type=float, default=0.1)
 
     p.add_argument("--init_cond", type=str, default=None)
     p.add_argument("--dt", type=float, default=0.05)

@@ -43,9 +43,11 @@ class BaseModel:
         self.mesh = mesh
         self.tb: Optional[MetricsWriter] = None
 
-        # early-stop constants (reference base/baseModel.py:21-22)
+        # early-stop constants (reference base/baseModel.py:21-22);
+        # patience/threshold/factor are configurable with reference
+        # defaults (Config.plateau_*)
         self.min_lr = 1.1e-8
-        self.early_stop_plateau = 500
+        self.early_stop_plateau = getattr(cfg, "plateau_patience", 500)
         self.train_step = 0
 
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -110,6 +112,8 @@ class BaseModel:
                 chunk_size=self.cfg.chunk_size,
                 early_stop=self.cfg.early_stop,
                 plateau_patience=self.early_stop_plateau,
+                plateau_threshold=getattr(self.cfg, "plateau_threshold", 1e-4),
+                plateau_factor=getattr(self.cfg, "plateau_factor", 0.1),
                 early_stop_min_lr=self.min_lr,
                 mesh=self.mesh, mesh_axis=self.cfg.mesh_axis,
                 debug_nan=getattr(self.cfg, "debug_nan", False),

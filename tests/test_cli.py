@@ -50,6 +50,27 @@ def test_config_json_snapshot(tmp_path):
     assert snap["hidden_features"] == 16
 
 
+def test_plateau_knobs_thread_to_solver(tmp_path):
+    """--plateau_patience/threshold/factor reach the phase Solver (defaults
+    are the reference's hard-coded torch scheduler constants)."""
+    from insr_pde_tpu.config import Config
+    from insr_pde_tpu.models.advection import Advection1DModel
+
+    cfg = Config(pde="advection", proj_dir=str(tmp_path), tag="pl",
+                 init_cond="example1", num_hidden_layers=2,
+                 hidden_features=16, sample_resolution=64, max_n_iters=20,
+                 chunk_size=10, overwrite=True, backup_sources=False,
+                 plateau_patience=777, plateau_threshold=3e-5,
+                 plateau_factor=0.5)
+    cfg.setup_dirs()
+    model = Advection1DModel(cfg)
+    model.initialize()
+    (solver,) = model._solvers.values()
+    assert solver._plateau_kw["patience"] == 777
+    assert solver._plateau_kw["threshold"] == 3e-5
+    assert solver._plateau_kw["factor"] == 0.5
+
+
 def test_train_cli_multidevice_mesh(tmp_path):
     """--n_devices 8 on the virtual CPU mesh: collocation-sharded training
     through the real CLI path."""

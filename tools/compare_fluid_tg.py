@@ -50,6 +50,8 @@ def main(argv=None):
     ap.add_argument("--precision", type=str, default="highest",
                     choices=["default", "high", "highest"],
                     help="MXU pass count for the derivative chains")
+    ap.add_argument("--plateau_patience", type=int, default=500)
+    ap.add_argument("--plateau_threshold", type=float, default=1e-4)
     args = ap.parse_args(argv)
 
     import jax
@@ -73,6 +75,8 @@ def main(argv=None):
         early_stop=True, dt=args.dt, vis_frequency=10 ** 9,
         backup_sources=False, overwrite=True,
         matmul_precision=args.precision,
+        plateau_patience=args.plateau_patience,
+        plateau_threshold=args.plateau_threshold,
     )
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
@@ -105,7 +109,8 @@ def main(argv=None):
     print(json.dumps({
         "summary": "fluid_taylorgreen_analytic_golden",
         "sr": args.sr, "iters": args.iters, "dt": args.dt,
-        "precision": args.precision,
+        "hidden": args.hidden, "precision": args.precision,
+        "plateau": [args.plateau_patience, args.plateau_threshold],
         "rel_l2_t0": round(rows[0], 6),
         "rel_l2_final": round(rows[-1], 6),
         "rel_l2_max": round(max(rows), 6),
