@@ -52,6 +52,7 @@ def main(argv=None):
                     help="MXU pass count for the derivative chains")
     ap.add_argument("--plateau_patience", type=int, default=500)
     ap.add_argument("--plateau_threshold", type=float, default=1e-4)
+    ap.add_argument("--plateau_factor", type=float, default=0.1)
     args = ap.parse_args(argv)
 
     import jax
@@ -77,6 +78,7 @@ def main(argv=None):
         matmul_precision=args.precision,
         plateau_patience=args.plateau_patience,
         plateau_threshold=args.plateau_threshold,
+        plateau_factor=args.plateau_factor,
     )
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
@@ -110,7 +112,8 @@ def main(argv=None):
         "summary": "fluid_taylorgreen_analytic_golden",
         "sr": args.sr, "iters": args.iters, "dt": args.dt,
         "hidden": args.hidden, "precision": args.precision,
-        "plateau": [args.plateau_patience, args.plateau_threshold],
+        "plateau": [args.plateau_patience, args.plateau_threshold,
+                    args.plateau_factor],
         "rel_l2_t0": round(rows[0], 6),
         "rel_l2_final": round(rows[-1], 6),
         "rel_l2_max": round(max(rows), 6),
