@@ -96,6 +96,36 @@ def read_medit(path: str) -> MeshData:
     return MeshData(points=points, cells_dict=cells)
 
 
+def write_medit(path: str, points: np.ndarray,
+                cells_dict: Dict[str, np.ndarray]) -> None:
+    """Write an ASCII MEDIT `.mesh` file (inverse of `read_medit`).
+
+    Used to materialize procedural stand-in meshes (geometry/procedural.py)
+    as files the elasticity CLI can point --mesh_path at — e.g. the
+    lucy-scale stand-in for the reference's stripped asset
+    (reference .MISSING_LARGE_BLOBS:1, scripts/elasticity3Dlucy.sh)."""
+    key_to_section = {v[0]: (k.capitalize(), v[1])
+                      for k, v in _MEDIT_CELLS.items()}
+    pts = np.asarray(points, np.float64)
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        raise ValueError(f"points must be (V, 3), got {pts.shape}")
+    with open(path, "w") as f:
+        f.write("MeshVersionFormatted 2\nDimension\n3\n")
+        f.write(f"Vertices\n{len(pts)}\n")
+        for p in pts:
+            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} 0\n")
+        for key, cells in cells_dict.items():
+            section, nv = key_to_section[key]
+            cells = np.asarray(cells, np.int64)
+            if cells.shape[1] != nv:
+                raise ValueError(
+                    f"{key} cells must be (N, {nv}), got {cells.shape}")
+            f.write(f"{section}\n{len(cells)}\n")
+            for c in cells:
+                f.write(" ".join(str(int(v) + 1) for v in c) + " 0\n")
+        f.write("End\n")
+
+
 def read_obj(path: str) -> MeshData:
     """Minimal Wavefront OBJ reader (v/f records, triangulating fans)."""
     verts, faces = [], []

@@ -55,3 +55,28 @@ def box_tet_mesh(n: int = 4):
                 for tet in pattern:
                     T.append([corners[c] for c in tet])
     return V, np.asarray(T, np.int64)
+
+
+def statue_tet_mesh(n: int = 32):
+    """Lucy-scale structural stand-in: a tapered, gently twisted column
+    (statue-like tall solid with a wide base), tetrahedralized at
+    (n+1)^3 vertices / 5 n^3 tets.
+
+    The reference's `scripts/elasticity3Dlucy.sh` drops `data/lucy.mesh`
+    onto a plane, but the asset is stripped upstream
+    (.MISSING_LARGE_BLOBS:1), so exact parity is impossible; this mesh
+    reproduces the SCALE of the workload (n=32 -> 35,937 vertices /
+    163,840 tets — larger than bunny's 18,592 / 76,854) with a
+    non-axis-aligned shape so the 3x128 SIREN sees a nontrivial SDF-like
+    deformation field. Coordinates span roughly [-1,1]^2 x [0,2]."""
+    V, T = box_tet_mesh(n)
+    # re-map the unit cube: z in [0,2], xy tapered from full width at the
+    # base to 35% at the top, with a 60-degree twist along the height
+    u = (V[:, 2] + 1.0) * 0.5                    # height fraction in [0,1]
+    taper = 1.0 - 0.65 * u
+    ang = (np.pi / 3.0) * u
+    c, s = np.cos(ang), np.sin(ang)
+    x = V[:, 0] * taper
+    y = V[:, 1] * taper
+    V = np.stack([c * x - s * y, s * x + c * y, u * 2.0], axis=1)
+    return V, T

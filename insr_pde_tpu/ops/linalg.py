@@ -643,7 +643,8 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
                         maxiter: int = 500, tol: float = 1e-8,
                         chunk: int = 200, precondition: bool = True,
                         damp: float = 0.0, restart: bool = False,
-                        t_idx: Optional[jax.Array] = None):
+                        t_idx: Optional[jax.Array] = None,
+                        whitener: Optional[jax.Array] = None):
     """`cgls_sparse` with the iteration loop split into fixed-size chunk
     programs (host sync between chunks) instead of one long `while_loop`
     program.
@@ -670,6 +671,12 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     run every Aᵀr as the pull-style `rmv_gather` instead of the
     segment-sum scatter. Numerically equivalent up to f32 summation order
     (NOT bit-identical to the scatter path).
+
+    whitener (block mode only): a precomputed W from a previous solve of
+    the same sparsity pattern (e.g. an earlier Picard iteration — the
+    vortex `reuse_whitener` knob). Any full-rank W is a valid right
+    preconditioner; reuse skips the Gram reduce + host-f64 eigh. The W
+    actually used is returned as info["W"].
     """
     # n_cols (PaddedSparse) / n_blocks (BlockSparse); a jit-built operator
     # carries it as a (weakly-typed) array leaf — coerce to a hashable int
@@ -682,9 +689,11 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
 
     d2 = jnp.asarray(damp * damp, jnp.float32)
     t_whiten = 0.0
+    W = None
     if precondition == "block":
         _tw0 = time.perf_counter()
-        W = block_whitener_host(A, t_idx=t_idx)
+        W = whitener if whitener is not None else block_whitener_host(
+            A, t_idx=t_idx)
         y0 = _prewhiten_x0(np.asarray(W, np.float64), x0, static_field)
         jax.block_until_ready(W)
         t_whiten = time.perf_counter() - _tw0
@@ -711,7 +720,7 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     else:
         x_out = dcol * y_out
     return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma),
-                   "t_whiten": t_whiten}
+                   "t_whiten": t_whiten, "W": W}
 
 
 def cgls_sparse_sharded(mesh, axis: str, A: PaddedSparse, b: jax.Array,
@@ -912,7 +921,8 @@ def cgls_sparse_sharded_chunked(mesh, axis: str, A: PaddedSparse,
                                 b: jax.Array, x0: jax.Array,
                                 maxiter: int = 500, tol: float = 1e-8,
                                 chunk: int = 200, precondition=True,
-                                damp: float = 0.0, restart: bool = False):
+                                damp: float = 0.0, restart: bool = False,
+                                whitener: Optional[jax.Array] = None):
     """`cgls_sparse_chunked` over a row-sharded device mesh — the
     multi-chip production path for the vortex space-time solve.
 
@@ -957,13 +967,18 @@ def cgls_sparse_sharded_chunked(mesh, axis: str, A: PaddedSparse,
 
     d2 = jnp.asarray(damp * damp, jnp.float32)
     t_whiten = 0.0
+    W = None
     if precondition == "block":
         _tw0 = time.perf_counter()
-        G = np.asarray(_sharded_block_gram(mesh, axis,
-                                           A._replace(vals=vals, cols=cols))
-                       ).astype(np.float64)
-        Wn = _whiten_from_gram(G)
-        W = jnp.asarray(Wn.astype(np.float32))
+        if whitener is not None:
+            W = whitener
+            Wn = np.asarray(W, np.float64)
+        else:
+            G = np.asarray(_sharded_block_gram(
+                mesh, axis, A._replace(vals=vals, cols=cols))
+            ).astype(np.float64)
+            Wn = _whiten_from_gram(G)
+            W = jnp.asarray(Wn.astype(np.float32))
         y0 = _prewhiten_x0(Wn, x0, static_field)
         jax.block_until_ready(W)
         t_whiten = time.perf_counter() - _tw0
@@ -989,4 +1004,4 @@ def cgls_sparse_sharded_chunked(mesh, axis: str, A: PaddedSparse,
     else:
         x_out = dcol * y_out
     return x_out, {"niter": k, "resnorm": jnp.sqrt(gamma),
-                   "t_whiten": t_whiten}
+                   "t_whiten": t_whiten, "W": W}

@@ -117,6 +117,16 @@ def main(argv=None):
     ap.add_argument("--outlet_v", action="store_true",
                     help="stream form: add fully-developed-outflow rows "
                          "(u_y = 0) along the outlet")
+    ap.add_argument("--reuse_whitener", action="store_true",
+                    help="compute the block eigen-whitener once (first "
+                         "Picard iteration) and reuse it: any full-rank W "
+                         "is a valid right preconditioner, and only the "
+                         "momentum rows change across Picard iterations "
+                         "(VortexConfig.reuse_whitener)")
+    ap.add_argument("--warm_start", type=float, default=None,
+                    help="scale the previous Picard iterate into each "
+                         "solve's x0 (1.0 = cumulative refinement; default "
+                         "0.0 = the reference's cold start per lsqr pass)")
     ap.add_argument("--rmv_gather", action="store_true",
                     help="chunked CGLS: run A^T r as a pull-style gather "
                          "over a precomputed transpose index instead of "
@@ -173,7 +183,8 @@ def main(argv=None):
         pou_time=args.pou_time, time_window=args.time_window,
         pou_normalize=args.pou_normalize,
         cgls_precondition=args.precondition, outlet_v=args.outlet_v,
-        rmv_gather=args.rmv_gather,
+        rmv_gather=args.rmv_gather, reuse_whitener=args.reuse_whitener,
+        warm_start=(args.warm_start if args.warm_start is not None else 0.0),
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel
     model = cls(cfg)
@@ -194,6 +205,22 @@ def main(argv=None):
         if ckpt_path != "none":
             model.save_ckpt(ckpt_path)
         model.write_output(args.output_path)
+
+    if args.formulation == "velocity":
+        # The reference-parity default produces a visibly non-incompressible
+        # flow on the channel scene (the reference's own notebook concedes
+        # it fails); point users at the measured fix instead of leaving the
+        # number buried in COMPARISON.md.
+        from insr_pde_tpu.models.vortex import relative_divergence
+        rdiv = relative_divergence(model)
+        if rdiv > 0.1:
+            print(f"note: relative divergence {rdiv:.2f} — the velocity "
+                  "formulation (reference parity) cannot represent an "
+                  "incompressible field on this scene. "
+                  "`--preset channel` is the measured fix: stream function "
+                  "+ normalized C1 PoU + 8x density, inlet rel err 2.9e-3 "
+                  "and analytic divergence ~2e-7 at reference scale "
+                  "(COMPARISON.md).")
 
 
 if __name__ == "__main__":

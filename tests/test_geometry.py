@@ -129,3 +129,30 @@ def test_sample_tex_bilinear():
     np.testing.assert_allclose(np.asarray(rgb[2]), [0, 0, 1], atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb[3]), [0.5, 0.5, 0.5],
                                atol=1e-6)
+
+
+def test_write_medit_roundtrip(tmp_path):
+    """write_medit -> read_medit is the identity on points/cells (the
+    lucy-stand-in pipeline materializes procedural meshes this way)."""
+    from insr_pde_tpu.geometry import write_medit
+    V, T = box_tet_mesh(2)
+    path = tmp_path / "rt.mesh"
+    write_medit(str(path), V, {"tetra": T})
+    data = read_medit(str(path))
+    assert np.allclose(data.points, V)
+    assert np.array_equal(data.cells_dict["tetra"], T)
+
+
+def test_statue_tet_mesh_valid():
+    """Lucy-scale stand-in: right vertex/tet counts, positive volumes
+    (taper+twist is orientation-preserving), height span [0, 2]."""
+    from insr_pde_tpu.geometry import statue_tet_mesh
+    n = 6
+    V, T = statue_tet_mesh(n)
+    assert V.shape == ((n + 1) ** 3, 3)
+    assert T.shape == (5 * n ** 3, 4)
+    vols = np.asarray(per_tet_volumes(jnp.asarray(V, jnp.float32),
+                                      jnp.asarray(T)))
+    assert (vols > 0).all() or (vols < 0).all()  # consistent orientation
+    assert abs(float(np.abs(vols).sum())) > 0.5  # non-degenerate solid
+    assert np.isclose(V[:, 2].min(), 0.0) and np.isclose(V[:, 2].max(), 2.0)

@@ -235,14 +235,18 @@ def probe_spmv():
     r = jax.random.normal(k4, (R,))
     A = PaddedSparse(vals=vals, cols=cols, n_cols=NCOLS)
 
-    mv = jax.jit(lambda x: A.mv(x))
-    rmv = jax.jit(lambda r: A.rmv(r))
-    t_mv = _time_steps(lambda: jax.block_until_ready(mv(x)), n=10)
-    t_rmv = _time_steps(lambda: jax.block_until_ready(rmv(r)), n=10)
+    # operands as jit arguments (closure constants ship through the tunnel
+    # per compile — see the block-ELL section below)
+    mv = jax.jit(lambda v, c, x: PaddedSparse(v, c, NCOLS).mv(x))
+    rmv = jax.jit(lambda v, c, r: PaddedSparse(v, c, NCOLS).rmv(r))
+    t_mv = _time_steps(
+        lambda: jax.block_until_ready(mv(vals, cols, x)), n=10)
+    t_rmv = _time_steps(
+        lambda: jax.block_until_ready(rmv(vals, cols, r)), n=10)
 
     # gather-only (isolate the x[cols] share of mv)
-    gat = jax.jit(lambda x: jnp.sum(x[cols]))
-    t_gather = _time_steps(lambda: jax.block_until_ready(gat(x)), n=10)
+    gat = jax.jit(lambda c, x: jnp.sum(x[c]))
+    t_gather = _time_steps(lambda: jax.block_until_ready(gat(cols, x)), n=10)
 
     # one CGLS iteration equivalent: mv + rmv + axpys
     bytes_mv = (R * NNZ * 8 + NCOLS * 4 + R * 4)  # vals+cols + x + out
@@ -262,11 +266,12 @@ def probe_spmv():
     S = NNZ // J
     bvals = vals.reshape(R, S, J)
     bcols = jax.random.randint(k2, (R, S), 0, NCOLS // J)
-    B = BlockSparse(vals=bvals, cols=bcols, n_blocks=NCOLS // J)
-    bmv = jax.jit(lambda x: B.mv(x))
-    brmv = jax.jit(lambda r: B.rmv(r))
-    tb_mv = _time_steps(lambda: jax.block_until_ready(bmv(x)), n=10)
-    tb_rmv = _time_steps(lambda: jax.block_until_ready(brmv(r)), n=10)
+    bmv = jax.jit(lambda v, c, x: BlockSparse(v, c, NCOLS // J).mv(x))
+    brmv = jax.jit(lambda v, c, r: BlockSparse(v, c, NCOLS // J).rmv(r))
+    tb_mv = _time_steps(
+        lambda: jax.block_until_ready(bmv(bvals, bcols, x)), n=10)
+    tb_rmv = _time_steps(
+        lambda: jax.block_until_ready(brmv(bvals, bcols, r)), n=10)
     print(json.dumps({
         "probe": "spmv", "layout": "block_ell", "block_dim": J,
         "slots": S,
@@ -278,25 +283,38 @@ def probe_spmv():
 
     # block-ELL transpose via precomputed gather index (rmv_gather):
     # pull-formulation Aᵀr vs the segment-sum scatter, at the reference
-    # scale AND the channel-preset 8x-density scale
+    # scale AND the channel-preset 8x/16x-density scales.
+    #
+    # Operands are passed as jit ARGUMENTS, never closed over: a closure
+    # constant is baked into the HLO and shipped through the tunnel per
+    # compile — the round-3 8x leg did exactly that (875 MB of captured
+    # vals per program) and killed remote_compile with a broken pipe
+    # (COMPARISON.md). Argument buffers stay device-resident.
     from insr_pde_tpu.ops.linalg import build_rmv_gather
-    for label, Rg in (("block_ell_ref", R), ("block_ell_8x", 8 * R)):
+    nb = NCOLS // J
+    g_scatter = jax.jit(lambda v, c, r: BlockSparse(v, c, nb).rmv(r))
+    g_gather = jax.jit(
+        lambda v, c, r, t: BlockSparse(v, c, nb).rmv_gather(r, t))
+    gmv = jax.jit(lambda v, c, x: BlockSparse(v, c, nb).mv(x))
+    for label, Rg in (("block_ell_ref", R), ("block_ell_8x", 8 * R),
+                      ("block_ell_16x", 16 * R)):
         kv, kc, kr = jax.random.split(jax.random.PRNGKey(Rg), 3)
         gvals = jax.random.normal(kv, (Rg, S, J))
-        gcols = jax.random.randint(kc, (Rg, S), 0, NCOLS // J)
+        gcols = jax.random.randint(kc, (Rg, S), 0, nb)
         gr = jax.random.normal(kr, (Rg,))
-        Bg = BlockSparse(vals=gvals, cols=gcols, n_blocks=NCOLS // J)
-        t_idx = build_rmv_gather(gcols, NCOLS // J)
-        g_scatter = jax.jit(lambda r: Bg.rmv(r))
-        g_gather = jax.jit(lambda r, t: Bg.rmv_gather(r, t))
-        ts = _time_steps(lambda: jax.block_until_ready(g_scatter(gr)), n=10)
+        t_idx = build_rmv_gather(gcols, nb)
+        op_mb = (gvals.size * 4 + gcols.size * 4) / 1e6
+        ts = _time_steps(
+            lambda: jax.block_until_ready(g_scatter(gvals, gcols, gr)), n=10)
         tg = _time_steps(
-            lambda: jax.block_until_ready(g_gather(gr, t_idx)), n=10)
-        gmv = jax.jit(lambda x: Bg.mv(x))
-        tm = _time_steps(lambda: jax.block_until_ready(gmv(x)), n=10)
+            lambda: jax.block_until_ready(g_gather(gvals, gcols, gr, t_idx)),
+            n=10)
+        tm = _time_steps(
+            lambda: jax.block_until_ready(gmv(gvals, gcols, x)), n=10)
         print(json.dumps({
             "probe": "spmv", "layout": label, "rows": Rg,
             "reverse_degree_D": int(t_idx.shape[1]),
+            "operator_mb": round(op_mb, 1),
             "mv_ms": round(tm * 1e3, 3),
             "rmv_scatter_ms": round(ts * 1e3, 3),
             "rmv_gather_ms": round(tg * 1e3, 3),
