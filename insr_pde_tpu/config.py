@@ -63,6 +63,24 @@ class Config:
     length: float = 4.0
     vel: float = 0.25
 
+    # fluid advection-phase scheme (beyond-reference: the reference is
+    # plain semi-Lagrangian, fluid/model.py:72-101, whose interpolation
+    # smoothing — here, the re-fit's spectral bias — decays the field
+    # linearly over the horizon). "maccormack" adds the classic
+    # error-compensation step: advect back, measure the round-trip defect,
+    # correct the target by half of it; falls back to plain semi-Lag at
+    # points whose traces leave the domain.
+    advect_scheme: str = "semilag"
+    # Sobolev (derivative-supervised) advection weight (beyond-reference;
+    # 0 = off). Adds w * MSE(J u - J target) to the advect phase. The
+    # pressure Poisson phase consumes div(u) of the advect FIT, whose
+    # derivative-space noise is the fit's value noise amplified by the
+    # SIREN's frequency content (~omega^2 in MSE) — the measured ~8e-6
+    # pressure stall that no LR schedule moves (tools/plateau_probe.py).
+    # Supervising the Jacobian directly pushes that noise down at its
+    # source.
+    advect_sobolev: float = 0.0
+
     # elasticity (reference config.py:135-168)
     dim: int = 2
     sample_pattern: List[str] = field(default_factory=lambda: ["random", "uniform"])
@@ -220,6 +238,18 @@ def parse_args(argv=None, phase: str = "train") -> Config:
 
     p_adv.add_argument("-L", "--length", type=float, default=4.0)
     p_adv.add_argument("--vel", type=float, default=0.25)
+
+    p_flu.add_argument("--advect_scheme", type=str, default="semilag",
+                       choices=["semilag", "maccormack"],
+                       help="advection-phase target: reference semi-"
+                            "Lagrangian, or MacCormack error compensation "
+                            "(halves the scheme's dissipation; beyond-"
+                            "reference)")
+    p_flu.add_argument("--advect_sobolev", type=float, default=0.0,
+                       help="derivative-supervision weight for the advect "
+                            "fit (0 = reference parity); lowers the "
+                            "derivative-space fit noise the pressure "
+                            "Poisson phase inherits as its target")
 
     p_ela.add_argument("--dim", type=int, default=2)
     p_ela.add_argument("--sample_resolution_init", type=int, default=0)

@@ -76,15 +76,71 @@ class Fluid2DModel(BaseModel):
         return {"main": jnp.mean((out - ref) ** 2)}
 
     def _advect_loss(self, params, key, aux):
-        """Semi-Lagrangian advection (reference fluid/model.py:72-101)."""
+        """Semi-Lagrangian advection (reference fluid/model.py:72-101),
+        optionally with MacCormack error compensation
+        (cfg.advect_scheme="maccormack", beyond-reference): the plain
+        backtrace target is smoothed by the re-fit's spectral bias, which
+        decays the field linearly over the horizon (measured: the TG
+        amplitude-decay drift, COMPARISON.md); advecting the target BACK
+        and correcting by half the round-trip defect cancels the leading
+        dissipation term. Points whose forward trace leaves the domain
+        fall back to the plain target (the defect there measures the clip,
+        not the scheme).
+
+        cfg.advect_sobolev > 0 additionally supervises the fit's Jacobian
+        against the target's (chain rule through the backtrace): the
+        pressure phase consumes div(u) of THIS fit, so its attainable
+        floor is set by the advect fit's derivative-space noise — value
+        noise alone leaves derivative noise ~omega^2 larger in MSE. With
+        both knobs on, the Jacobian target is the plain semi-Lagrangian
+        one (the MacCormack correction is O(dt^2) and not differentiated
+        through)."""
         k1, k2 = jax.random.split(key)
         x = sample_random(k1, self.n_samples, 2)
         prev = aux["prev"]
+        sob_w = float(getattr(self.cfg, "advect_sobolev", 0.0) or 0.0)
 
-        u_prev = self.vel_net.apply(prev, x)
-        backtracked = jnp.clip(x - u_prev * self.dt, -1.0, 1.0)
-        advected = self.vel_net.apply(prev, backtracked)
+        if sob_w > 0.0:
+            # target Jacobian by chain rule: t(x) = u_prev(b(x)),
+            # b = clip(x - dt u_prev(x)); J conventions are (N, d, m) with
+            # J[:, j, i] = d out_i / d x_j (ops/forward_laplacian)
+            u_prev, J_prev = self.vel_net.value_grad(prev, x)
+        else:
+            u_prev = self.vel_net.apply(prev, x)
+        raw_back = x - u_prev * self.dt
+        backtracked = jnp.clip(raw_back, -1.0, 1.0)
+        if sob_w > 0.0:
+            advected, J_a = self.vel_net.value_grad(prev, backtracked)
+            inside = ((raw_back > -1.0) & (raw_back < 1.0))      # (N, d)
+            eye = jnp.eye(2)
+            # db_k/dx_j = inside_k * (delta_jk - dt * d u_k/d x_j)
+            db = inside[:, None, :] * (eye[None]
+                                       - self.dt * J_prev)       # (N, j, k)
+            J_target = jnp.einsum("njk,nki->nji", db, J_a)
+        else:
+            advected = self.vel_net.apply(prev, backtracked)
 
+        if self.cfg.advect_scheme == "maccormack":
+            # round trip: y = forward trace of x; the semi-Lagrangian
+            # advected field evaluated at y is u_prev(y - u_prev(y) dt);
+            # for the exact operator this returns u_prev(x) — the defect
+            # is twice the scheme's one-step error (antisymmetric in dt)
+            y = x + u_prev * self.dt
+            in_dom = jnp.all((y > -1.0) & (y < 1.0), axis=-1, keepdims=True)
+            y = jnp.clip(y, -1.0, 1.0)
+            u_y = self.vel_net.apply(prev, y)
+            z = jnp.clip(y - u_y * self.dt, -1.0, 1.0)
+            round_trip = self.vel_net.apply(prev, z)
+            defect = u_prev - round_trip
+            advected = advected + jnp.where(in_dom, 0.5 * defect, 0.0)
+
+        if sob_w > 0.0:
+            u, J_u = self.vel_net.value_grad(params, x)
+            sob = sob_w * jnp.mean(
+                (J_u - jax.lax.stop_gradient(J_target)) ** 2)
+            main = jnp.mean((u - advected) ** 2)
+            return {"main": main, "sobolev": sob,
+                    "bc": self._velocity_bc(params, k2)}
         u = self.vel_net.apply(params, x)
         main = jnp.mean((u - advected) ** 2)
         return {"main": main, "bc": self._velocity_bc(params, k2)}

@@ -269,6 +269,9 @@ class VortexModel:
         self.mesh_axis = mesh_axis
         self.cfg = cfg
         self._rmv_t_idx = None   # lazy transpose-gather index (rmv_gather)
+        self._picard_seen = 0    # Picard updates completed over the model's
+        #                          lifetime (reuse_whitener representativeness
+        #                          gate — persists across matrix_solver calls)
         tmp = RBFConfig(dim=cfg.dim, n_spatial_basis=cfg.n_spatial_basis)
         self.rbf_cfg = RBFConfig(
             dim=cfg.dim, n_vars=cfg.n_variables, n_feat=cfg.n_feat,
@@ -654,10 +657,13 @@ class VortexModel:
         # rows) is kept — see the VortexConfig field comment
         W_cache = getattr(self, "_whitener", None)
         for it in range(cfg.picard_iters):
-            # it=0 assembles around the pre-solve coefficients (random
-            # init, or a previous round's field): only a W computed from
-            # a post-Picard-update system is cached as representative
-            representative = it >= 1
+            # The first system of a model's LIFETIME assembles around the
+            # pre-solve coefficients (random init): only a W computed from
+            # a post-Picard-update system is cached as representative.
+            # Counted across matrix_solver calls (drivers like starterL
+            # --n_rounds and tools/vortex_probe.py run one Picard
+            # iteration per call): self._picard_seen persists per model.
+            representative = self._picard_seen >= 1
             t0 = time.perf_counter()
             if self.mesh is not None and solver == "cgls":
                 # rows built per shard so assembly memory scales down
@@ -769,6 +775,7 @@ class VortexModel:
                 u_flat, res, niter = solve_jit(A.vals, A.cols, b,
                                                u_flat * cfg.warm_start)
             jax.block_until_ready(u_flat)
+            self._picard_seen += 1
             t_solve = time.perf_counter() - t0 - t_whiten
             self.picard_timings.append(
                 {"picard": it, "assemble_s": round(t_assemble, 3),

@@ -69,6 +69,12 @@ def main(argv=None):
     ap.add_argument("--precision", type=str, default="highest")
     ap.add_argument("--candidates", type=str, default=",".join(CANDIDATES))
     ap.add_argument("--chunk", type=int, default=1000)
+    ap.add_argument("--advect_sobolev", type=float, default=0.0,
+                    help="derivative-supervise the setup advect fit: the "
+                         "pressure floor is the advect fit's derivative "
+                         "noise, so this moves the TARGET, not the "
+                         "schedule")
+    ap.add_argument("--advect_scheme", type=str, default="semilag")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,7 +93,8 @@ def main(argv=None):
         sample_resolution=args.sr, vis_resolution=16, max_n_iters=20000,
         chunk_size=args.chunk, early_stop=True, dt=args.dt,
         vis_frequency=10 ** 9, backup_sources=False, overwrite=True,
-        matmul_precision=args.precision)
+        matmul_precision=args.precision,
+        advect_sobolev=args.advect_sobolev, advect_scheme=args.advect_scheme)
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
 

@@ -80,6 +80,12 @@ def main():
                          "of unity in the boundary strips)")
     ap.add_argument("--stream_bc", choices=["value", "derivative", "both"],
                     default="value")
+    ap.add_argument("--reuse_whitener", action="store_true",
+                    help="cache the block eigen-whitener across Picard "
+                         "iterations (VortexConfig.reuse_whitener)")
+    ap.add_argument("--warm_start", type=float, default=0.0,
+                    help="scale of the previous Picard iterate used as "
+                         "each solve's x0 (reference cold-starts: 0.0)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")
     ap.add_argument("--quick", action="store_true",
@@ -136,6 +142,7 @@ def main():
         **({"time_window": args.time_window}
            if args.time_window is not None else {}),
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
+        reuse_whitener=args.reuse_whitener, warm_start=args.warm_start,
         w_init=args.w_init, w_momentum=args.w_momentum,
         w_continuity=args.w_continuity, cgls_tol=args.cgls_tol,
         log_dir="/tmp/vortex_probe_log")
@@ -158,7 +165,9 @@ def main():
         log(f"stage 2.{it} OK in {time.time() - t0:.1f}s, |Ax-b| = {res:.4e}")
         for rec in getattr(model, "picard_timings", []):
             log(f"  breakdown: assemble {rec['assemble_s']}s, "
-                f"whiten {rec['whiten_s']}s, solve {rec['solve_s']}s")
+                f"whiten {rec['whiten_s']}s, solve {rec['solve_s']}s, "
+                f"operand {rec['operand_mb']} MB"
+                + (" (host-shipped)" if rec["host_shipped"] else ""))
 
     log("stage 3: sample_field + divergence + inlet metrics ...")
     t0 = time.time()
