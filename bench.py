@@ -294,6 +294,45 @@ def bench_advect_torch_baseline() -> float:
     return per_iter * ADV_ITERS_PER_STEP
 
 
+VORTEX_CGLS_ITERS = 400
+VORTEX_REPS = 3
+
+
+def bench_vortex() -> tuple[list, dict]:
+    """Channel-preset vortex Picard iteration (the headline TPU-native
+    capability: reference-scale stream-formulation channel scene at 8x
+    collocation density — starterL.py --preset channel / COMPARISON.md
+    "channel scene solved"; reference workload: starterL.py:9-28 +
+    vortex/model.py:445-478, which needs CUDA+scipy and fails this scene).
+
+    One matrix_solver() call = assemble (BlockSparse block-ELL) + host-f64
+    block eigen-whitener + chunked restarted CGLS at a FIXED iteration
+    budget (VORTEX_CGLS_ITERS, no early exit) — deterministic work, so the
+    min-of-N is regression-comparable across rounds. The whitener is
+    recomputed every rep (reuse off) to keep the whole stack on the
+    measured path."""
+    from insr_pde_tpu.models.vortex import StreamVortexModel, VortexConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = VortexConfig(
+            rho=1000.0, internal_v=8.0, n_spatial_basis=400, time_num=10,
+            collocation_pts_num=8000, boundary_num=3200,
+            picard_iters=1, cgls_maxiter=VORTEX_CGLS_ITERS, cgls_tol=0.0,
+            cgls_chunk=200, cgls_restart=True, pou="smooth",
+            pou_time="simple", time_window=1, band_width=1.0,
+            stream_bc="both", w_bc=5.0, pou_normalize=True,
+            cgls_precondition="block", log_dir=tmp)
+        model = StreamVortexModel(cfg, log=False)
+        model.matrix_solver()       # compiles assemble + chunk programs
+        times, breakdown = [], {}
+        for _ in range(VORTEX_REPS):
+            t0 = time.perf_counter()
+            model.matrix_solver()
+            times.append(time.perf_counter() - t0)
+            breakdown = dict(model.picard_timings[-1])
+    return times, breakdown
+
+
 def _stats(times):
     mn = min(times)
     mean = sum(times) / len(times)
@@ -304,6 +343,12 @@ def _stats(times):
 def main():
     fluid_times, fluid_flops = bench_fluid()
     adv_times = bench_advect()
+    try:
+        vortex_times, vortex_breakdown = bench_vortex()
+        vortex_sec, vortex_mean, vortex_spread = _stats(vortex_times)
+    except Exception:
+        vortex_times, vortex_breakdown = [], {}
+        vortex_sec, vortex_mean, vortex_spread = (float("nan"),) * 3
     fluid_sec, fluid_mean, fluid_spread = _stats(fluid_times)
     adv_sec, adv_mean, adv_spread = _stats(adv_times)
     try:
@@ -333,6 +378,14 @@ def main():
         "advect1d_mean_of_5": round(adv_mean, 4),
         "advect1d_spread_pct": round(adv_spread, 1),
         "advect1d_torch_baseline_sec": round(adv_base, 2),
+        "vortex_channel_sec_per_picard": round(vortex_sec, 3),
+        "vortex_channel_cgls_iters": VORTEX_CGLS_ITERS,
+        "vortex_channel_mean_of_3": round(vortex_mean, 3),
+        "vortex_channel_spread_pct": round(vortex_spread, 1),
+        "vortex_assemble_s": vortex_breakdown.get("assemble_s"),
+        "vortex_whiten_s": vortex_breakdown.get("whiten_s"),
+        "vortex_solve_s": vortex_breakdown.get("solve_s"),
+        "vortex_operand_mb": vortex_breakdown.get("operand_mb"),
     }))
 
 

@@ -80,6 +80,15 @@ class Config:
     # Supervising the Jacobian directly pushes that noise down at its
     # source.
     advect_sobolev: float = 0.0
+    # fluid timestep structure (beyond-reference). "split" = the reference's
+    # three fits per step (advect fit -> pressure fit -> projection fit,
+    # fluid/model.py:61-70). "merged" = two: the advected velocity u* is kept
+    # as the PURE FUNCTION u_prev(clip(x - dt u_prev(x))) instead of being
+    # re-fit, the pressure Poisson target div(u*) is that composition's EXACT
+    # jacfwd divergence, and a single velocity fit lands u* - grad(p). One
+    # fewer fit per step = one fewer accumulation of representation noise —
+    # the measured per-step TG drift source (COMPARISON.md plateau study).
+    fluid_step: str = "split"
 
     # elasticity (reference config.py:135-168)
     dim: int = 2
@@ -250,6 +259,14 @@ def parse_args(argv=None, phase: str = "train") -> Config:
                             "fit (0 = reference parity); lowers the "
                             "derivative-space fit noise the pressure "
                             "Poisson phase inherits as its target")
+    p_flu.add_argument("--fluid_step", type=str, default="split",
+                       choices=["split", "merged"],
+                       help="timestep structure: reference three-fit "
+                            "operator splitting, or the merged two-fit "
+                            "variant (pressure solved against the exact "
+                            "divergence of the semi-Lagrangian composition, "
+                            "then one combined advect+project velocity fit; "
+                            "beyond-reference)")
 
     p_ela.add_argument("--dim", type=int, default=2)
     p_ela.add_argument("--sample_resolution_init", type=int, default=0)

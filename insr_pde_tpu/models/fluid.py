@@ -145,6 +145,79 @@ class Fluid2DModel(BaseModel):
         main = jnp.mean((u - advected) ** 2)
         return {"main": main, "bc": self._velocity_bc(params, k2)}
 
+    def _advect_target_fn(self, prev):
+        """Pure point function x -> u*(x), the advected velocity of the
+        frozen `prev` field: the semi-Lagrangian composition
+        u_prev(clip(x - dt u_prev(x))), optionally MacCormack-corrected
+        (same scheme as _advect_loss). Used by the merged timestep
+        (cfg.fluid_step="merged"): keeping u* as a FUNCTION instead of
+        re-fitting it means jacfwd through the composition gives the
+        Poisson target div(u*) EXACTLY — no fit-derivative noise — and one
+        velocity fit per step replaces the reference's two
+        (fluid/model.py:72-151)."""
+        vel = self.vel_net.point_fn(prev)
+        dt = self.dt
+        mc = self.cfg.advect_scheme == "maccormack"
+
+        def fn(xi):
+            u_prev = vel(xi)
+            b = jnp.clip(xi - u_prev * dt, -1.0, 1.0)
+            adv = vel(b)
+            if mc:
+                y = xi + u_prev * dt
+                in_dom = jnp.all((y > -1.0) & (y < 1.0))
+                y = jnp.clip(y, -1.0, 1.0)
+                z = jnp.clip(y - vel(y) * dt, -1.0, 1.0)
+                adv = adv + jnp.where(in_dom, 0.5 * (u_prev - vel(z)), 0.0)
+            return adv
+
+        return fn
+
+    def _merged_pressure_loss(self, params, key, aux):
+        """Poisson residual div(u*) = lap p where u* is the advected
+        composition (no intermediate velocity fit); BCs as _pressure_loss."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = sample_random(k1, self.n_samples, 2)
+
+        fn = self._advect_target_fn(aux["prev"])
+        div_star = jax.lax.stop_gradient(divergence(fn, x)[:, 0])
+        lap_p = self.p_net.value_grad_laplacian(params, x)[2][:, 0]
+        main = jnp.mean((div_star - lap_p) ** 2)
+
+        bx = sample_boundary2D_separate(k2, self.n_boundary, "horizontal")
+        by = sample_boundary2D_separate(k3, self.n_boundary, "vertical")
+        grad_px = self.p_net.value_grad(params, bx)[1][:, 0, 0]
+        grad_py = self.p_net.value_grad(params, by)[1][:, 1, 0]
+        bc = jnp.mean(grad_px ** 2) + jnp.mean(grad_py ** 2)
+        return {"main": main, "bc": bc}
+
+    def _merged_projection_loss(self, params, key, aux):
+        """Single combined advect+project fit: u <- u*(x) - grad p(x),
+        with u* the advected composition. cfg.advect_sobolev > 0 also
+        supervises the fit's Jacobian against the target's exact one
+        (jacfwd through the composition and the pressure Hessian)."""
+        k1, k2 = jax.random.split(key)
+        x = sample_random(k1, self.n_samples, 2)
+        sob_w = float(getattr(self.cfg, "advect_sobolev", 0.0) or 0.0)
+
+        adv_fn = self._advect_target_fn(aux["prev"])
+        p_pt = self.p_net.point_fn(aux["pressure"])
+
+        def target_pt(xi):
+            return adv_fn(xi) - jax.jacfwd(p_pt)(xi)[0]
+
+        target = jax.lax.stop_gradient(jax.vmap(target_pt)(x))
+        if sob_w > 0.0:
+            u, J_u = self.vel_net.value_grad(params, x)   # J_u: (N, d, m)
+            J_t = jax.vmap(jax.jacfwd(target_pt))(x)      # (N, m, d)
+            J_t = jax.lax.stop_gradient(jnp.swapaxes(J_t, 1, 2))
+            sob = sob_w * jnp.mean((J_u - J_t) ** 2)
+            return {"main": jnp.mean((u - target) ** 2), "sobolev": sob,
+                    "bc": self._velocity_bc(params, k2)}
+        u = self.vel_net.apply(params, x)
+        return {"main": jnp.mean((u - target) ** 2),
+                "bc": self._velocity_bc(params, k2)}
+
     def _pressure_loss(self, params, key, aux):
         """Poisson residual div u = lap p (rho=1 as the reference,
         fluid/model.py:103-125) + Neumann BC grad(p).n = 0.
@@ -204,7 +277,11 @@ class Fluid2DModel(BaseModel):
 
     def step(self):
         """Operator splitting (reference fluid/model.py:61-70): three solve
-        loops per timestep, each with a fresh Adam + scheduler."""
+        loops per timestep, each with a fresh Adam + scheduler. With
+        cfg.fluid_step="merged", two loops (pressure, then one combined
+        advect+project velocity fit)."""
+        if getattr(self.cfg, "fluid_step", "split") == "merged":
+            return self._step_merged()
         self.begin_timestep()
 
         self.fields["velocity_prev"] = self.fields["velocity"]
@@ -230,6 +307,33 @@ class Fluid2DModel(BaseModel):
 
         self.end_timestep()
         return res_a, res_p, res_j
+
+    def _step_merged(self):
+        """Merged timestep (beyond-reference, cfg.fluid_step="merged"):
+        pressure Poisson against the exact divergence of the semi-Lagrangian
+        composition, then ONE velocity fit landing u* - grad p. Identical
+        continuous-level scheme as the split path; removes one per-step
+        re-fit (the advect fit) and its accumulated representation noise."""
+        self.begin_timestep()
+
+        self.fields["velocity_prev"] = self.fields["velocity"]
+        res_p = self._run_phase("solve_pressure_merged",
+                                self._merged_pressure_loss,
+                                self.fields["pressure"],
+                                aux={"prev": self.fields["velocity_prev"]},
+                                vis_fn=self._vis_pressure)
+        self.fields["pressure"] = res_p.params
+
+        res_j = self._run_phase("project_advect",
+                                self._merged_projection_loss,
+                                self.fields["velocity"],
+                                aux={"prev": self.fields["velocity_prev"],
+                                     "pressure": self.fields["pressure"]},
+                                vis_fn=self._vis_velocity)
+        self.fields["velocity"] = res_j.params
+
+        self.end_timestep()
+        return res_p, res_j
 
     # ---- visualization / output ----
     def _vis_velocity(self, params):

@@ -157,3 +157,45 @@ def test_sobolev_advect_reduces_derivative_noise(cfg):
     err_off = fit_and_jac_err(0.0)
     err_on = fit_and_jac_err(1.0)
     assert err_on < err_off, (err_on, err_off)
+
+
+def test_merged_target_fn_matches_split_advect_target(cfg):
+    """The merged step's pure advected function u*(x) must equal the split
+    advect phase's fitting target (same composition, same clipping), and
+    its jacfwd divergence must match finite differences."""
+    m = Fluid2DModel(cfg)
+    prev = m.fields["velocity"]
+    fn = m._advect_target_fn(prev)
+    x = sample_random(jax.random.PRNGKey(1), 256, 2) * 0.95
+
+    u_prev = m.vel_net.apply(prev, x)
+    back = jnp.clip(x - u_prev * m.dt, -1.0, 1.0)
+    expected = m.vel_net.apply(prev, back)
+    np.testing.assert_allclose(np.asarray(jax.vmap(fn)(x)),
+                               np.asarray(expected), rtol=2e-5, atol=1e-6)
+
+    div = divergence(fn, x)[:, 0]
+    eps = 1e-4
+    ex = jnp.array([eps, 0.0])
+    ey = jnp.array([0.0, eps])
+    fd = ((jax.vmap(fn)(x + ex)[:, 0] - jax.vmap(fn)(x - ex)[:, 0])
+          + (jax.vmap(fn)(x + ey)[:, 1] - jax.vmap(fn)(x - ey)[:, 1])) \
+        / (2 * eps)
+    np.testing.assert_allclose(np.asarray(div), np.asarray(fd),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_merged_step_runs_and_losses_drop(cfg):
+    """fluid_step=merged: initialize + one step runs, returns two phase
+    results (pressure, combined fit), all losses finite and dropping."""
+    cfg.fluid_step = "merged"
+    cfg.advect_sobolev = 0.3
+    cfg.setup_dirs()
+    m = Fluid2DModel(cfg)
+    m.initialize()
+    results = m.step()
+    assert len(results) == 2
+    for res in results:
+        assert np.isfinite(res.final_loss)
+    # the combined fit must land close to its target at this tiny budget
+    assert results[1].final_loss < 5e-2

@@ -56,6 +56,8 @@ def main(argv=None):
     ap.add_argument("--advect_scheme", type=str, default="semilag",
                     choices=["semilag", "maccormack"])
     ap.add_argument("--advect_sobolev", type=float, default=0.0)
+    ap.add_argument("--fluid_step", type=str, default="split",
+                    choices=["split", "merged"])
     args = ap.parse_args(argv)
 
     import jax
@@ -84,6 +86,7 @@ def main(argv=None):
         plateau_factor=args.plateau_factor,
         advect_scheme=args.advect_scheme,
         advect_sobolev=args.advect_sobolev,
+        fluid_step=args.fluid_step,
     )
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
@@ -126,6 +129,7 @@ def main(argv=None):
         "plateau": [args.plateau_patience, args.plateau_threshold,
                     args.plateau_factor],
         "advect": [args.advect_scheme, args.advect_sobolev],
+        "fluid_step": args.fluid_step,
         "rel_l2_t0": round(rows[0], 6),
         "rel_l2_final": round(rows[-1], 6),
         "rel_l2_max": round(max(rows), 6),
