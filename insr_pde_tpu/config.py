@@ -71,6 +71,16 @@ class Config:
     # correct the target by half of it; falls back to plain semi-Lag at
     # points whose traces leave the domain.
     advect_scheme: str = "semilag"
+    # characteristic-trace order for the semi-Lagrangian backtrace
+    # (beyond-reference). "euler" = the reference's one-shot straight-line
+    # backtrace x - dt u(x) (fluid/model.py:83-87). "rk2" = midpoint rule
+    # x - dt u(x - dt/2 u(x)): the straight-line trace cuts the corner of
+    # curved characteristics, a SYSTEMATIC O(dt^2)/step amplitude loss
+    # (measured ~6e-4/step on steady Taylor-Green, whose characteristics
+    # are circles — COMPARISON.md plateau study); the midpoint trace makes
+    # the characteristic second-order and removes that bias for one extra
+    # network evaluation.
+    advect_trace: str = "euler"
     # Sobolev (derivative-supervised) advection weight (beyond-reference;
     # 0 = off). Adds w * MSE(J u - J target) to the advect phase. The
     # pressure Poisson phase consumes div(u) of the advect FIT, whose
@@ -259,8 +269,15 @@ def parse_args(argv=None, phase: str = "train") -> Config:
                             "fit (0 = reference parity); lowers the "
                             "derivative-space fit noise the pressure "
                             "Poisson phase inherits as its target")
+    p_flu.add_argument("--advect_trace", type=str, default="euler",
+                       choices=["euler", "rk2"],
+                       help="semi-Lagrangian characteristic trace: the "
+                            "reference's one-shot straight-line backtrace, "
+                            "or the midpoint (RK2) trace that removes the "
+                            "O(dt^2)/step corner-cutting amplitude loss on "
+                            "curved characteristics (beyond-reference)")
     p_flu.add_argument("--fluid_step", type=str, default="split",
-                       choices=["split", "merged"],
+                       choices=["split", "merged", "merged2"],
                        help="timestep structure: reference three-fit "
                             "operator splitting, or the merged two-fit "
                             "variant (pressure solved against the exact "

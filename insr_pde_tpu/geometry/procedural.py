@@ -80,3 +80,18 @@ def statue_tet_mesh(n: int = 32):
     y = V[:, 1] * taper
     V = np.stack([c * x - s * y, s * x + c * y, u * 2.0], axis=1)
     return V, T
+
+
+if __name__ == "__main__":
+    # materialize the lucy-scale stand-in as a MEDIT file the elasticity
+    # CLI can point --mesh_path at:
+    #   python -m insr_pde_tpu.geometry.procedural [out.mesh] [n]
+    import sys
+
+    from .mesh_io import write_medit
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/statue.mesh"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    V, T = statue_tet_mesh(n)
+    write_medit(out, V, {"tetra": T})
+    print(f"{out}: {len(V)} vertices, {len(T)} tets")

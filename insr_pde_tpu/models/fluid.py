@@ -100,6 +100,24 @@ class Fluid2DModel(BaseModel):
         prev = aux["prev"]
         sob_w = float(getattr(self.cfg, "advect_sobolev", 0.0) or 0.0)
 
+        if getattr(self.cfg, "advect_trace", "euler") == "rk2":
+            # midpoint characteristic trace: targets come from the shared
+            # point-function composition (incl. MacCormack), derivatives by
+            # jacfwd through it — the hand chain rule below is euler-only
+            fn = self._advect_target_fn(prev)
+            advected = jax.lax.stop_gradient(jax.vmap(fn)(x))
+            if sob_w > 0.0:
+                u, J_u = self.vel_net.value_grad(params, x)   # (N, d, m)
+                J_t = jnp.swapaxes(jax.vmap(jax.jacfwd(fn))(x), 1, 2)
+                sob = sob_w * jnp.mean(
+                    (J_u - jax.lax.stop_gradient(J_t)) ** 2)
+                return {"main": jnp.mean((u - advected) ** 2),
+                        "sobolev": sob,
+                        "bc": self._velocity_bc(params, k2)}
+            u = self.vel_net.apply(params, x)
+            return {"main": jnp.mean((u - advected) ** 2),
+                    "bc": self._velocity_bc(params, k2)}
+
         if sob_w > 0.0:
             # target Jacobian by chain rule: t(x) = u_prev(b(x)),
             # b = clip(x - dt u_prev(x)); J conventions are (N, d, m) with
@@ -145,7 +163,7 @@ class Fluid2DModel(BaseModel):
         main = jnp.mean((u - advected) ** 2)
         return {"main": main, "bc": self._velocity_bc(params, k2)}
 
-    def _advect_target_fn(self, prev):
+    def _advect_target_fn(self, prev, p_old=None):
         """Pure point function x -> u*(x), the advected velocity of the
         frozen `prev` field: the semi-Lagrangian composition
         u_prev(clip(x - dt u_prev(x))), optionally MacCormack-corrected
@@ -154,21 +172,49 @@ class Fluid2DModel(BaseModel):
         re-fitting it means jacfwd through the composition gives the
         Poisson target div(u*) EXACTLY — no fit-derivative noise — and one
         velocity fit per step replaces the reference's two
-        (fluid/model.py:72-151)."""
+        (fluid/model.py:72-151).
+
+        With p_old (the previous step's pressure params, fluid_step
+        "merged2"): the INCREMENTAL TRAPEZOIDAL predictor
+        u*(x) = u_prev(b(x)) - grad q_old(b(x)) — the departure-point half
+        of the trapezoidal pressure impulse; the arrival half is the new
+        solve's -grad q_new(x) applied in the combined fit. With the rk2
+        trace this is the classical second-order two-time-level
+        semi-Lagrangian scheme: the plain split/merged step applies the
+        whole pressure impulse at the arrival point, an O(dt^2)/step
+        splitting bias — the measured ~6e-4/step TG amplitude decay that
+        neither MacCormack nor removing re-fits moves (COMPARISON.md
+        plateau study (b)/(c)). No velocity extrapolation at the midpoint
+        (1.5u^n - 0.5u^{n-1}) is applied — exact for steady flows,
+        adequate at these dt for slowly-varying ones."""
         vel = self.vel_net.point_fn(prev)
+        p_old_pt = None if p_old is None else self.p_net.point_fn(p_old)
         dt = self.dt
         mc = self.cfg.advect_scheme == "maccormack"
+        rk2 = getattr(self.cfg, "advect_trace", "euler") == "rk2"
+
+        def trace(xi, sign):
+            """One characteristic trace step; returns (raw, clipped)."""
+            u0 = vel(xi)
+            if rk2:
+                mid = jnp.clip(xi + sign * 0.5 * dt * u0, -1.0, 1.0)
+                u_t = vel(mid)
+            else:
+                u_t = u0
+            raw = xi + sign * dt * u_t
+            return raw, jnp.clip(raw, -1.0, 1.0)
 
         def fn(xi):
-            u_prev = vel(xi)
-            b = jnp.clip(xi - u_prev * dt, -1.0, 1.0)
+            _, b = trace(xi, -1.0)
             adv = vel(b)
             if mc:
-                y = xi + u_prev * dt
-                in_dom = jnp.all((y > -1.0) & (y < 1.0))
-                y = jnp.clip(y, -1.0, 1.0)
-                z = jnp.clip(y - vel(y) * dt, -1.0, 1.0)
-                adv = adv + jnp.where(in_dom, 0.5 * (u_prev - vel(z)), 0.0)
+                u_here = vel(xi)
+                y_raw, y = trace(xi, +1.0)
+                in_dom = jnp.all((y_raw > -1.0) & (y_raw < 1.0))
+                _, z = trace(y, -1.0)
+                adv = adv + jnp.where(in_dom, 0.5 * (u_here - vel(z)), 0.0)
+            if p_old_pt is not None:
+                adv = adv - jax.jacfwd(p_old_pt)(b)[0]
             return adv
 
         return fn
@@ -179,7 +225,7 @@ class Fluid2DModel(BaseModel):
         k1, k2, k3 = jax.random.split(key, 3)
         x = sample_random(k1, self.n_samples, 2)
 
-        fn = self._advect_target_fn(aux["prev"])
+        fn = self._advect_target_fn(aux["prev"], aux.get("p_old"))
         div_star = jax.lax.stop_gradient(divergence(fn, x)[:, 0])
         lap_p = self.p_net.value_grad_laplacian(params, x)[2][:, 0]
         main = jnp.mean((div_star - lap_p) ** 2)
@@ -200,7 +246,7 @@ class Fluid2DModel(BaseModel):
         x = sample_random(k1, self.n_samples, 2)
         sob_w = float(getattr(self.cfg, "advect_sobolev", 0.0) or 0.0)
 
-        adv_fn = self._advect_target_fn(aux["prev"])
+        adv_fn = self._advect_target_fn(aux["prev"], aux.get("p_old"))
         p_pt = self.p_net.point_fn(aux["pressure"])
 
         def target_pt(xi):
@@ -280,8 +326,11 @@ class Fluid2DModel(BaseModel):
         loops per timestep, each with a fresh Adam + scheduler. With
         cfg.fluid_step="merged", two loops (pressure, then one combined
         advect+project velocity fit)."""
-        if getattr(self.cfg, "fluid_step", "split") == "merged":
+        mode = getattr(self.cfg, "fluid_step", "split")
+        if mode == "merged":
             return self._step_merged()
+        if mode == "merged2":
+            return self._step_merged2()
         self.begin_timestep()
 
         self.fields["velocity_prev"] = self.fields["velocity"]
@@ -331,6 +380,45 @@ class Fluid2DModel(BaseModel):
                                      "pressure": self.fields["pressure"]},
                                 vis_fn=self._vis_velocity)
         self.fields["velocity"] = res_j.params
+
+        self.end_timestep()
+        return res_p, res_j
+
+    def _step_merged2(self):
+        """Incremental-trapezoidal merged timestep (cfg.fluid_step
+        "merged2"): the predictor carries -grad q_old at the DEPARTURE
+        point, the combined fit applies -grad q_new at the arrival point —
+        trapezoidal pressure along the characteristic, second-order at
+        steady state (see _advect_target_fn). The first timestep has no
+        q_old; it bootstraps with one extra plain-composition Poisson solve
+        whose solution seeds q_old (costs one extra fit, first step only)."""
+        self.begin_timestep()
+
+        self.fields["velocity_prev"] = self.fields["velocity"]
+        prev = self.fields["velocity_prev"]
+        p_old = self.fields.get("pressure_prev")
+        if p_old is None:
+            res_b = self._run_phase("solve_pressure_m2boot",
+                                    self._merged_pressure_loss,
+                                    self.fields["pressure"],
+                                    aux={"prev": prev, "p_old": None})
+            p_old = res_b.params
+
+        res_p = self._run_phase("solve_pressure_merged2",
+                                self._merged_pressure_loss,
+                                self.fields["pressure"],
+                                aux={"prev": prev, "p_old": p_old},
+                                vis_fn=self._vis_pressure)
+        self.fields["pressure"] = res_p.params
+
+        res_j = self._run_phase("project_advect2",
+                                self._merged_projection_loss,
+                                self.fields["velocity"],
+                                aux={"prev": prev, "p_old": p_old,
+                                     "pressure": res_p.params},
+                                vis_fn=self._vis_velocity)
+        self.fields["velocity"] = res_j.params
+        self.fields["pressure_prev"] = res_p.params
 
         self.end_timestep()
         return res_p, res_j

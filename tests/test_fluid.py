@@ -199,3 +199,63 @@ def test_merged_step_runs_and_losses_drop(cfg):
         assert np.isfinite(res.final_loss)
     # the combined fit must land close to its target at this tiny budget
     assert results[1].final_loss < 5e-2
+
+
+def test_rk2_trace_reduces_curvature_bias(cfg):
+    """--advect_trace rk2: for a rotational (TG) field the midpoint trace
+    lands closer to the true curved characteristic than the straight-line
+    one. Measured as target error vs a 16-substep reference trace."""
+    cfg.setup_dirs()
+    m = Fluid2DModel(cfg)
+    m.initialize()
+    prev = m.fields["velocity"]
+    vel = m.vel_net.point_fn(prev)
+    x = sample_random(jax.random.PRNGKey(7), 512, 2) * 0.7
+
+    def substep_trace(xi, n=16):
+        d = m.dt / n
+        for _ in range(n):
+            xi = jnp.clip(xi - d * vel(xi), -1.0, 1.0)
+        return xi
+    ref_target = m.vel_net.apply(prev, jax.vmap(substep_trace)(x))
+
+    errs = {}
+    for tr in ("euler", "rk2"):
+        cfg.advect_trace = tr
+        fn = Fluid2DModel(cfg)._advect_target_fn(prev)
+        errs[tr] = float(jnp.mean((jax.vmap(fn)(x) - ref_target) ** 2))
+    assert errs["rk2"] < 0.2 * errs["euler"], errs
+
+
+def test_merged2_step_runs_and_is_self_consistent(cfg):
+    """fluid_step=merged2 (+rk2): bootstrap on the first step, pressure_prev
+    threads across steps, losses finite; the trapezoidal predictor with
+    q_old=0-params differs from the plain composition only by grad(q_old)."""
+    cfg.fluid_step = "merged2"
+    cfg.advect_trace = "rk2"
+    cfg.setup_dirs()
+    m = Fluid2DModel(cfg)
+    m.initialize()
+    m.step()
+    assert "pressure_prev" in m.fields
+    res_p, res_j = m.step()       # second step exercises the q_old path
+    assert np.isfinite(res_p.final_loss) and np.isfinite(res_j.final_loss)
+
+    # predictor consistency: fn2 == fn - grad q_old at the traced point
+    prev = m.fields["velocity_prev"]
+    p_old = m.fields["pressure_prev"]
+    fn = m._advect_target_fn(prev)
+    fn2 = m._advect_target_fn(prev, p_old)
+    x = sample_random(jax.random.PRNGKey(3), 128, 2) * 0.9
+    vel = m.vel_net.point_fn(prev)
+    p_pt = m.p_net.point_fn(p_old)
+
+    def manual(xi):
+        u0 = vel(xi)
+        mid = jnp.clip(xi - 0.5 * m.dt * u0, -1.0, 1.0)
+        b = jnp.clip(xi - m.dt * vel(mid), -1.0, 1.0)
+        return fn(xi) - jax.jacfwd(p_pt)(b)[0]
+
+    np.testing.assert_allclose(np.asarray(jax.vmap(fn2)(x)),
+                               np.asarray(jax.vmap(manual)(x)),
+                               rtol=2e-5, atol=1e-6)

@@ -57,7 +57,9 @@ def main(argv=None):
                     choices=["semilag", "maccormack"])
     ap.add_argument("--advect_sobolev", type=float, default=0.0)
     ap.add_argument("--fluid_step", type=str, default="split",
-                    choices=["split", "merged"])
+                    choices=["split", "merged", "merged2"])
+    ap.add_argument("--advect_trace", type=str, default="euler",
+                    choices=["euler", "rk2"])
     args = ap.parse_args(argv)
 
     import jax
@@ -87,6 +89,7 @@ def main(argv=None):
         advect_scheme=args.advect_scheme,
         advect_sobolev=args.advect_sobolev,
         fluid_step=args.fluid_step,
+        advect_trace=args.advect_trace,
     )
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
@@ -130,6 +133,7 @@ def main(argv=None):
                     args.plateau_factor],
         "advect": [args.advect_scheme, args.advect_sobolev],
         "fluid_step": args.fluid_step,
+        "advect_trace": args.advect_trace,
         "rel_l2_t0": round(rows[0], 6),
         "rel_l2_final": round(rows[-1], 6),
         "rel_l2_max": round(max(rows), 6),
