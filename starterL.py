@@ -25,11 +25,19 @@ PRESETS = {
     # underdetermined; 8x makes it overdetermined), block-whitened chunked
     # CGLS. Measured at full reference scale on the TPU (COMPARISON.md
     # round 3): inlet rel err 2.9e-3, analytic divergence 2.2e-7.
+    # Round 4: reuse_whitener caches the block eigen-whitener across
+    # Picard iterations (3.3 s -> 0.11 s/iter) and warm_start=1.0 re-enters
+    # CGLS from the previous Picard iterate — quality is unchanged down to
+    # a 1000-iteration budget (67.8 s/Picard vs 143 s, inlet 3.1e-3 vs
+    # 3.0e-3, analytic div 9.7e-7; COMPARISON.md "Picard cost halved").
+    # cgls_maxiter stays 2000 (the measured-quality default); pass
+    # --cgls_maxiter 1000 for the halved-cost configuration.
     "channel": dict(formulation="stream", pou="smooth", pou_time="simple",
                     time_window=1, band_width=1.0, stream_bc="both",
                     w_bc=5.0, pou_normalize=True, precondition="block",
                     cgls_chunk=200, cgls_restart=True, cgls_maxiter=2000,
-                    collocation=8000, boundary=3200),
+                    collocation=8000, boundary=3200,
+                    reuse_whitener=True, warm_start=1.0),
 }
 
 

@@ -302,24 +302,34 @@ def probe_spmv():
         gvals = jax.random.normal(kv, (Rg, S, J))
         gcols = jax.random.randint(kc, (Rg, S), 0, nb)
         gr = jax.random.normal(kr, (Rg,))
-        t_idx = build_rmv_gather(gcols, nb)
         op_mb = (gvals.size * 4 + gcols.size * 4) / 1e6
         ts = _time_steps(
             lambda: jax.block_until_ready(g_scatter(gvals, gcols, gr)), n=10)
-        tg = _time_steps(
-            lambda: jax.block_until_ready(g_gather(gvals, gcols, gr, t_idx)),
-            n=10)
         tm = _time_steps(
             lambda: jax.block_until_ready(gmv(gvals, gcols, x)), n=10)
-        print(json.dumps({
+        rec = {
             "probe": "spmv", "layout": label, "rows": Rg,
-            "reverse_degree_D": int(t_idx.shape[1]),
             "operator_mb": round(op_mb, 1),
             "mv_ms": round(tm * 1e3, 3),
             "rmv_scatter_ms": round(ts * 1e3, 3),
-            "rmv_gather_ms": round(tg * 1e3, 3),
-            "rmv_gather_speedup": round(ts / tg, 2),
-        }), flush=True)
+        }
+        # the pull-transpose (rmv_gather) is a documented negative result
+        # (2.7x slower at reference scale, 3.9x at 8x) whose transpose
+        # index grows with the reverse degree D ~ rows/n_block_cols — at
+        # 16x its contribution buffer alone OOMs 16 GB HBM. Measure it
+        # only at the scales it can exist at; the production scatter path
+        # is the 16x datum.
+        if Rg <= 8 * R:
+            t_idx = build_rmv_gather(gcols, nb)
+            tg = _time_steps(
+                lambda: jax.block_until_ready(
+                    g_gather(gvals, gcols, gr, t_idx)), n=10)
+            rec.update({
+                "reverse_degree_D": int(t_idx.shape[1]),
+                "rmv_gather_ms": round(tg * 1e3, 3),
+                "rmv_gather_speedup": round(ts / tg, 2),
+            })
+        print(json.dumps(rec), flush=True)
 
 
 def probe_precision():
