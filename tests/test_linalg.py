@@ -534,3 +534,29 @@ def test_sharded_chunked_ragged_rows_pad():
         tol=1e-12, damp=1e-3)
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_blocksparse_chunked_matvec_equivalence(monkeypatch):
+    """Beyond the single-program temp budget, mv/rmv take a row-chunked
+    scan path (the 16x-density OOM fix, COMPARISON.md round 4) — results
+    must be bit-comparable to the single-program path."""
+    import insr_pde_tpu.ops.linalg as L
+
+    key = jax.random.PRNGKey(11)
+    R, S, J, NB = 257, 5, 4, 31           # deliberately non-divisible R
+    kv, kc, kx, kr = jax.random.split(key, 4)
+    vals = jax.random.normal(kv, (R, S, J))
+    cols = jax.random.randint(kc, (R, S), 0, NB)
+    x = jax.random.normal(kx, (NB * J,))
+    r = jax.random.normal(kr, (R,))
+    A = L.BlockSparse(vals=vals, cols=cols, n_blocks=NB)
+
+    mv_ref = A.mv(x)
+    rmv_ref = A.rmv(r)
+    monkeypatch.setattr(L, "_MATVEC_CHUNK_ELEMS", 1000)  # force ~50 chunks
+    mv_chunk = A.mv(x)
+    rmv_chunk = A.rmv(r)
+    np.testing.assert_allclose(np.asarray(mv_chunk), np.asarray(mv_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rmv_chunk), np.asarray(rmv_ref),
+                               rtol=1e-6, atol=1e-6)
