@@ -657,3 +657,38 @@ def test_picard_timings_log_operand_footprint():
     entry = m.picard_timings[0]
     assert entry["operand_mb"] > 0
     assert entry["host_shipped"] is False
+
+
+def test_assemble_sharded_matches_single_device():
+    """Per-shard row assembly (VERDICT r3 missing #3) defines the SAME
+    least-squares system as the single-device assemble: row order differs
+    and inert zero rows pad each block to a device multiple, but the normal
+    equations A^T A x and A^T b — all CGLS sees — must agree."""
+    import jax
+    from jax.sharding import Mesh
+
+    from insr_pde_tpu.models.vortex import StreamVortexModel
+
+    cfg = VortexConfig(rho=1.0, internal_v=1.0, n_spatial_basis=25,
+                       time_num=3, collocation_pts_num=150, boundary_num=60,
+                       pou="smooth", pou_time="simple", time_window=1,
+                       band_width=1.0, stream_bc="both", w_bc=5.0,
+                       pou_normalize=True, picard_iters=1, seed=5,
+                       log_dir="/tmp/asm_log")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    m1 = StreamVortexModel(cfg, log=False)
+    m2 = StreamVortexModel(cfg, log=False, mesh=mesh)
+    u = jnp.asarray(m1.params.u)
+    ubar = u
+    A1, b1 = m1.assemble(ubar)
+    A2, b2 = m2.assemble_sharded(u.reshape(-1))
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (A1.n_cols,))
+    np.testing.assert_allclose(np.asarray(A1.rmv(A1.mv(x))),
+                               np.asarray(A2.rmv(A2.mv(x))),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A1.rmv(b1)),
+                               np.asarray(A2.rmv(b2)),
+                               rtol=2e-4, atol=1e-5)
