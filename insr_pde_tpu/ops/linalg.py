@@ -392,21 +392,14 @@ class PaddedSparse(NamedTuple):
 # broadcast intermediate. XLA tiles it T(8,128), padding a J=16 minor dim
 # 8x — so 256M elements ~ 1 GB unpadded ~ 8 GB padded, the single-chip
 # ceiling. The 8x-density channel system (218M) stays single-program (the
-# measured configuration); 16x and beyond take the row-chunked scan path.
+# measured configuration); 16x and beyond take the row-chunked path.
 _MATVEC_CHUNK_ELEMS = 256 * 1024 * 1024
-
-
-def _chunk_rows(R: int, elems_per_row: int):
-    """Rows per chunk (static) and the row padding to a whole chunk count."""
-    rows = max(1, _MATVEC_CHUNK_ELEMS // (2 * elems_per_row))
-    rows = min(rows, R)
-    pad = (-R) % rows
-    return rows, pad
-
-
-def _pad_rows(a: jax.Array, pad: int):
-    return a if pad == 0 else jnp.pad(
-        a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+# per-chunk size of the chunked path (~64M elements -> ~2 GB padded temp).
+# Chunks are STATIC python slices unrolled at trace time: a lax.scan would
+# need the whole array padded+reshaped to (k, rows, S, J) first, and that
+# materializes a full-size copy in the padded T(8,128) layout — the very
+# 13-16 GB allocation the chunking exists to avoid (measured at 16x).
+_MATVEC_ROWS_PER_CHUNK_ELEMS = 64 * 1024 * 1024
 
 
 class BlockSparse(NamedTuple):
@@ -446,20 +439,13 @@ class BlockSparse(NamedTuple):
         # Beyond-HBM scales (16x-density channel systems and up): the
         # gathered (R, S, J) temp is tiled T(8,128) by XLA, padding the
         # J=16 minor dim 8x — 13+ GB at 570k rows (measured OOM,
-        # COMPARISON.md round 4). Static row-chunked scan bounds the temp;
-        # identical results (same reduction, disjoint rows).
-        rows, pad = _chunk_rows(R, S * J)
-        vals = _pad_rows(self.vals, pad)
-        cols = _pad_rows(self.cols, pad)
-        k = vals.shape[0] // rows
-
-        def body(_, vc):
-            v, c = vc
-            return None, jnp.einsum("rsj,rsj->r", v, X[c])
-        _, out = jax.lax.scan(
-            body, None, (vals.reshape(k, rows, S, J),
-                         cols.reshape(k, rows, S)))
-        return out.reshape(-1)[:R]
+        # COMPARISON.md round 4). Static unrolled row chunks bound the
+        # temp; identical results (same reduction, disjoint rows).
+        rows = max(1, _MATVEC_ROWS_PER_CHUNK_ELEMS // (S * J))
+        outs = [jnp.einsum("rsj,rsj->r",
+                           self.vals[i:i + rows], X[self.cols[i:i + rows]])
+                for i in range(0, R, rows)]
+        return jnp.concatenate(outs)
 
     def rmv(self, r: jax.Array) -> jax.Array:
         R, S, J = self.vals.shape
@@ -468,22 +454,14 @@ class BlockSparse(NamedTuple):
             out = jax.ops.segment_sum(contrib, self.cols.reshape(-1),
                                       num_segments=self.n_blocks)
             return out.reshape(-1)
-        rows, pad = _chunk_rows(R, S * J)
-        vals = _pad_rows(self.vals, pad)
-        cols = _pad_rows(self.cols, pad)   # zero-pad: vals 0 -> adds 0
-        rr = jnp.pad(r, (0, pad))
-        k = vals.shape[0] // rows
-
-        def body(acc, vcr):
-            v, c, ri = vcr
-            contrib = (v * ri[:, None, None]).reshape(-1, J)
-            return acc + jax.ops.segment_sum(
-                contrib, c.reshape(-1), num_segments=self.n_blocks), None
-        acc0 = jnp.zeros((self.n_blocks, J), self.vals.dtype)
-        acc, _ = jax.lax.scan(
-            body, acc0, (vals.reshape(k, rows, S, J),
-                         cols.reshape(k, rows, S),
-                         rr.reshape(k, rows)))
+        rows = max(1, _MATVEC_ROWS_PER_CHUNK_ELEMS // (S * J))
+        acc = jnp.zeros((self.n_blocks, J), self.vals.dtype)
+        for i in range(0, R, rows):
+            contrib = (self.vals[i:i + rows]
+                       * r[i:i + rows, None, None]).reshape(-1, J)
+            acc = acc + jax.ops.segment_sum(
+                contrib, self.cols[i:i + rows].reshape(-1),
+                num_segments=self.n_blocks)
         return acc.reshape(-1)
 
     def col_norms(self) -> jax.Array:

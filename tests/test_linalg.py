@@ -553,10 +553,13 @@ def test_blocksparse_chunked_matvec_equivalence(monkeypatch):
 
     mv_ref = A.mv(x)
     rmv_ref = A.rmv(r)
-    monkeypatch.setattr(L, "_MATVEC_CHUNK_ELEMS", 1000)  # force ~50 chunks
+    monkeypatch.setattr(L, "_MATVEC_CHUNK_ELEMS", 1000)   # force chunked path
+    monkeypatch.setattr(L, "_MATVEC_ROWS_PER_CHUNK_ELEMS", 120)  # ~43 chunks
     mv_chunk = A.mv(x)
     rmv_chunk = A.rmv(r)
     np.testing.assert_allclose(np.asarray(mv_chunk), np.asarray(mv_ref),
                                rtol=1e-6, atol=1e-6)
+    # rmv partial segment-sums reassociate f32 addition across chunk
+    # boundaries; tolerance covers the reordering, not a semantic change
     np.testing.assert_allclose(np.asarray(rmv_chunk), np.asarray(rmv_ref),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=3e-5, atol=3e-5)
