@@ -14,6 +14,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+from insr_pde_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def _time_steps(fn, n=3):
     fn()  # warmup/compile
@@ -296,6 +300,35 @@ def probe_spmv():
     g_gather = jax.jit(
         lambda v, c, r, t: BlockSparse(v, c, nb).rmv_gather(r, t))
     gmv = jax.jit(lambda v, c, x: BlockSparse(v, c, nb).mv(x))
+    # Tunnel dispatch latency is ~20-30 ms and block_until_ready on the
+    # axon backend is unreliable below that (sub-ms "timings" observed,
+    # faster than the HBM floor — physically impossible). Per the verify
+    # skill: anything that could be sub-50 ms must be measured INSIDE one
+    # program — scan the op k times with a data dependence (eps is a
+    # RUNTIME arg so XLA can't fold the chain) and difference two k's to
+    # cancel per-program dispatch/fixed cost.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def _chain(v, c, xc, eps, *, k):
+        # pair: the CGLS-iteration kernel, Aᵀ(A x), chained so no
+        # iteration can be CSE'd or hoisted (eps is a runtime value)
+        A = BlockSparse(v, c, nb)
+
+        def body(s, _):
+            return s + eps * A.rmv(A.mv(s)), None
+
+        out, _ = jax.lax.scan(body, xc, None, length=k)
+        return jnp.sum(out)
+
+    def _scanned_pair_ms(gvals, gcols, gx, k_lo, k_hi):
+        eps = jnp.float32(0.0)
+        t_lo = _time_steps(lambda: jax.block_until_ready(
+            _chain(gvals, gcols, gx, eps, k=k_lo)), n=3)
+        t_hi = _time_steps(lambda: jax.block_until_ready(
+            _chain(gvals, gcols, gx, eps, k=k_hi)), n=3)
+        return max(t_hi - t_lo, 0.0) / (k_hi - k_lo) * 1e3
+
     for label, Rg in (("block_ell_ref", R), ("block_ell_8x", 8 * R),
                       ("block_ell_16x", 16 * R)):
         kv, kc, kr = jax.random.split(jax.random.PRNGKey(Rg), 3)
@@ -313,6 +346,19 @@ def probe_spmv():
             "mv_ms": round(tm * 1e3, 3),
             "rmv_scatter_ms": round(ts * 1e3, 3),
         }
+        print(json.dumps(rec), flush=True)  # single-dispatch numbers first
+        # per-iter cost at ref scale is ~10 ms: a long chain (k=51) is
+        # needed for the delta to clear dispatch jitter. At 16x the k>1
+        # chain over the 7-way unrolled chunked matvec exceeds the remote
+        # compiler (HTTP 500 observed at k=9) — try a short chain, and on
+        # failure the single-dispatch numbers above (>100 ms each at 16x,
+        # well above the ~25 ms tunnel latency) remain the datum.
+        k_hi = 51 if Rg == R else (9 if Rg <= 8 * R else 3)
+        try:
+            rec["pair_scanned_ms"] = round(
+                _scanned_pair_ms(gvals, gcols, x, 1, k_hi), 3)
+        except Exception as e:  # remote compile OOM at extreme scales
+            rec["pair_scanned_error"] = type(e).__name__
         # the pull-transpose (rmv_gather) is a documented negative result
         # (2.7x slower at reference scale, 3.9x at 8x) whose transpose
         # index grows with the reverse degree D ~ rows/n_block_cols — at
