@@ -38,6 +38,14 @@ def main(argv=None):
     mesh = make_mesh(cfg.n_devices, cfg.mesh_axis)
     model = build_model(cfg, mesh)
 
+    if cfg.pde == "fluid" and cfg.fluid_step == "split" and cfg.n_timesteps > 1:
+        # Reference-parity default; the measured upgrade is one flag pair
+        # away — surface it like starterL.py does for --preset channel.
+        print("note: --fluid_step split is reference parity (first-order "
+              "splitting bias ~6e-4/step on Taylor-Green). `--fluid_step "
+              "merged2 --advect_trace rk2` measured 3x lower horizon error "
+              "at 2.2x less cost/step at this budget (COMPARISON.md).")
+
     output_folder = os.path.join(cfg.exp_dir, "results")
     os.makedirs(output_folder, exist_ok=True)
 
