@@ -45,6 +45,15 @@ class Fluid2DModel(BaseModel):
             raise ValueError("fluid requires --init_cond (e.g. taylorgreen)")
         self.init_cond_func = get_examples(cfg.init_cond)
 
+        if getattr(cfg, "fluid_step", "split") == "merged2":
+            # The trapezoidal predictor's q_old must exist BEFORE load_ckpt:
+            # load_pytree restores with self.fields as the structure, so a
+            # leaf absent here is silently dropped from the checkpoint and
+            # a resumed run would re-bootstrap instead of continuing the
+            # trapezoidal chain. Alias the pressure init (placeholder until
+            # the first step's bootstrap overwrites it; no PRNG consumed).
+            self.fields["pressure_prev"] = self.fields["pressure"]
+
         n_dev = 1 if mesh is None else mesh.size
         # sr^2 collocation points per iteration (reference fluid/model.py:26)
         self.n_samples = max(1, self.sample_resolution ** 2 // n_dev)
@@ -396,8 +405,12 @@ class Fluid2DModel(BaseModel):
 
         self.fields["velocity_prev"] = self.fields["velocity"]
         prev = self.fields["velocity_prev"]
-        p_old = self.fields.get("pressure_prev")
-        if p_old is None:
+        p_old = self.fields["pressure_prev"]
+        if self.timestep <= 1:
+            # first PDE step: no previous pressure exists (the field holds
+            # the init-alias placeholder) — bootstrap q_old with one plain-
+            # composition Poisson solve. A resumed run (timestep > 1) keeps
+            # the RESTORED q_old and continues the trapezoidal chain.
             res_b = self._run_phase("solve_pressure_m2boot",
                                     self._merged_pressure_loss,
                                     self.fields["pressure"],

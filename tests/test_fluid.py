@@ -259,3 +259,41 @@ def test_merged2_step_runs_and_is_self_consistent(cfg):
     np.testing.assert_allclose(np.asarray(jax.vmap(fn2)(x)),
                                np.asarray(jax.vmap(manual)(x)),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_merged2_resume_restores_pressure_prev(cfg):
+    """--ckpt resume must continue the trapezoidal chain: pressure_prev is
+    pre-created in __init__ (so load_pytree's structure includes it — a
+    leaf absent from `like` is silently DROPPED from the checkpoint), and a
+    resumed step must reuse the restored q_old instead of re-bootstrapping."""
+    cfg.fluid_step = "merged2"
+    cfg.advect_trace = "rk2"
+    cfg.max_n_iters = 120
+    cfg.chunk_size = 60
+    cfg.setup_dirs()
+    m = Fluid2DModel(cfg)
+    m.initialize()
+    m.step()
+    m.step()                      # ckpt_step_t002 now holds a real q_old
+    saved_q_old = m.fields["pressure_prev"]
+
+    m2 = Fluid2DModel(cfg)
+    assert "pressure_prev" in m2.fields   # pre-created, restorable
+    m2.load_ckpt(2)
+    for a, b in zip(jax.tree_util.tree_leaves(saved_q_old),
+                    jax.tree_util.tree_leaves(m2.fields["pressure_prev"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the resumed step must NOT run the bootstrap phase
+    tags = []
+    orig = m2._run_phase
+
+    def spy(tag, *args, **kwargs):
+        tags.append(tag)
+        return orig(tag, *args, **kwargs)
+
+    m2._run_phase = spy
+    m2.step()
+    assert m2.timestep == 3
+    assert "solve_pressure_m2boot" not in tags
+    assert tags == ["solve_pressure_merged2", "project_advect2"]
