@@ -51,6 +51,11 @@ FLUID_ITERS = 3000          # per phase, fixed (reference max_n_iters default
 # advect1D (reference scripts/advect1D.sh)
 ADV_ITERS_PER_STEP = 2000
 ADV_N_SAMPLES = 5000
+# the advect1d step is ~0.3 s and tunnel-latency-dominated: a single-step
+# rep carries ~25 ms of dispatch jitter => the 8.6% spread of BENCH_r04.
+# Timing ADV_STEPS_PER_REP steps per rep and dividing amortizes the
+# jitter ~4x while keeping the per-step metric comparable across rounds.
+ADV_STEPS_PER_REP = 4
 TORCH_MEASURE_ITERS = 20
 REPS = 5                     # min-of-N repetitions per metric
 
@@ -226,8 +231,9 @@ def bench_advect() -> list:
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            model.step()
-            times.append(time.perf_counter() - t0)
+            for _ in range(ADV_STEPS_PER_REP):
+                model.step()
+            times.append((time.perf_counter() - t0) / ADV_STEPS_PER_REP)
     return times
 
 

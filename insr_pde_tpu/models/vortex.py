@@ -42,9 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.linalg import (BlockSparse, cg_batch, cgls_block_precond,
-                          cgls_sparse, cgls_sparse_chunked,
-                          cgls_sparse_sharded)
+from ..ops.linalg import (BlockSparse, BlockSparseP, cg_batch,
+                          cgls_block_precond, cgls_sparse,
+                          cgls_sparse_chunked, cgls_sparse_sharded,
+                          pack_block_sparse)
 from ..utils.logging import MetricsWriter
 from ..utils.viz import draw_scatter2D, save_figure
 from .rbf import (RBFConfig, basis_dt, basis_dx, basis_dxdt, basis_hess,
@@ -99,6 +100,13 @@ class VortexConfig:
     # assemble and solve programs (breaks any device-buffer aliasing
     # between consecutive programs on the tunneled backend)
     host_sync: bool = False
+    # repack the assembled (R, S, 16) coefficient blocks to (R, S*16)
+    # before the solve (ops/linalg.BlockSparseP): the unpacked layout's
+    # 16-wide minor dim is tiled T(8,128) — 8x tile padding occupied in
+    # HBM and STREAMED by every CGLS matvec. Identical operator algebra
+    # (same reduction order; pinned by tests/test_linalg.py). Mutually
+    # exclusive with rmv_gather (which needs the unpacked slot layout).
+    packed_vals: bool = False
     picard_iters: int = 3
     train_lr: float = 0.1
     # 'simple' = reference parity (indicator PoU + scaled space-time KNN);
@@ -593,9 +601,17 @@ class VortexModel:
                 lambda u_flat, *pbs: self.assemble(
                     u_flat.reshape(self.params.u.shape), *pbs))
 
+            def _mk_op(vals, cols):
+                # trace-time dispatch: packed (R, S*J) vals are 2-D and
+                # wider than cols (ops/linalg.BlockSparseP)
+                if vals.ndim == 2 and vals.shape != cols.shape:
+                    return BlockSparseP(vals=vals, cols=cols,
+                                        n_blocks=n_blocks)
+                return BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
+
             @jax.jit
             def solve_jit(vals, cols, b, x0):
-                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
+                A = _mk_op(vals, cols)
                 if solver == "cg":
                     normal = (lambda X:
                               A.rmv(A.mv(X[0, :, 0]))[None, :, None])
@@ -616,7 +632,7 @@ class VortexModel:
             def solve_block_jit(vals, cols, b, x0, W):
                 # W from block_whitener_host, computed OUTSIDE jit (TPU f32
                 # eigh is unusable on these Gram spectra — ops/linalg)
-                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
+                A = _mk_op(vals, cols)
                 x, info = cgls_block_precond(A, b, x0,
                                              maxiter=cfg.cgls_maxiter,
                                              tol=cfg.cgls_tol,
@@ -626,7 +642,7 @@ class VortexModel:
 
             @jax.jit
             def residual_jit(vals, cols, b, x):
-                A = BlockSparse(vals=vals, cols=cols, n_blocks=n_blocks)
+                A = _mk_op(vals, cols)
                 return jnp.linalg.norm(A.mv(x) - b)
 
             self._solver_jits[solver] = (assemble_jit, solve_jit,
@@ -671,6 +687,18 @@ class VortexModel:
                 A, b = self.assemble_sharded(u_flat)
             else:
                 A, b = assemble_jit(u_flat, *self._pbs())
+            if cfg.packed_vals and solver == "cgls":
+                if cfg.rmv_gather:
+                    if it == 0:
+                        import warnings
+                        warnings.warn(
+                            "packed_vals is ignored with rmv_gather (the "
+                            "pull transpose needs the unpacked slot "
+                            "layout); solving unpacked.", stacklevel=2)
+                else:
+                    # one tile-relayout program; the solve then streams
+                    # vals without the 8x minor-dim tile padding
+                    A = pack_block_sparse(A)
             jax.block_until_ready(A.vals)
             t_assemble = time.perf_counter() - t0
             # operand footprint of the assemble->solve boundary. The
@@ -685,8 +713,9 @@ class VortexModel:
                           + b.size * b.dtype.itemsize) / 1e6
             if cfg.host_sync:
                 # break device-buffer chaining between the assemble and
-                # solve programs (tunneled-backend crash isolation)
-                A = BlockSparse(
+                # solve programs (tunneled-backend crash isolation);
+                # _replace keeps the operator class (packed or not)
+                A = A._replace(
                     vals=jnp.asarray(np.asarray(A.vals)),
                     cols=jnp.asarray(np.asarray(A.cols)),
                     n_blocks=n_blocks)

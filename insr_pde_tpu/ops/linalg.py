@@ -193,7 +193,13 @@ def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int,
     Accumulated over `row_chunk`-sized slices with lax.scan: the naive
     einsum materializes an (R*S, J, J) intermediate — ~19 GB at the
     4x-density reference scale (measured HBM OOM on a 16 GB chip) — while
-    the scanned accumulation peaks at row_chunk*J*J (~67 MB)."""
+    the scanned accumulation peaks at row_chunk*J*J (~67 MB).
+
+    Accepts either the (R, S, J) BlockSparse layout or the packed
+    (R, S*J) BlockSparseP layout (detected by shape: packed vals are 2-D
+    with a wider minor dim than cols)."""
+    if vals.ndim == 2 and vals.shape != cols.shape:
+        return _block_gram_packed(vals, cols, n_blocks)
     J = vals.shape[-1]
     v = vals.reshape(-1, J)
     c = cols.reshape(-1)
@@ -213,6 +219,36 @@ def block_gram(vals: jax.Array, cols: jax.Array, n_blocks: int,
                                          num_segments=n_blocks), None
 
     G, _ = jax.lax.scan(step, jnp.zeros((n_blocks, J, J), vals.dtype),
+                        (v, c))
+    return G
+
+
+def _block_gram_packed(vals: jax.Array, cols: jax.Array,
+                       n_blocks: int) -> jax.Array:
+    """`block_gram` over the packed (R, S*J) layout: row-chunked lax.scan
+    whose operand reshape splits only the major row axis (tile-preserving
+    for this layout — the whole point of BlockSparseP), with the per-chunk
+    (chunk*S, J) flattening confined to the scan body."""
+    R, SJ = vals.shape
+    S = cols.shape[1]
+    J = SJ // S
+    # ~64k slots per chunk, matching block_gram's temp budget
+    rows = max(8, (65536 // S) // 8 * 8)
+    pad = (-R) % rows
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+        cols = jnp.pad(cols, ((0, pad), (0, 0)))
+    v = vals.reshape(-1, rows, SJ)
+    c = cols.reshape(-1, rows, S)
+
+    def step(acc, vc):
+        vi, ci = vc
+        vi = vi.astype(jnp.float32).reshape(-1, J)
+        outer = jnp.einsum("ri,rj->rij", vi, vi)
+        return acc + jax.ops.segment_sum(outer, ci.reshape(-1),
+                                         num_segments=n_blocks), None
+
+    G, _ = jax.lax.scan(step, jnp.zeros((n_blocks, J, J), jnp.float32),
                         (v, c))
     return G
 
@@ -510,6 +546,125 @@ class BlockSparse(NamedTuple):
         return out.reshape(-1)
 
 
+class BlockSparseP(NamedTuple):
+    """Packed block-ELL: the SAME operator as `BlockSparse`, with each
+    row's S coefficient blocks stored flattened — vals (R, S*J) instead of
+    (R, S, J).
+
+    Why this exists: XLA lays an (R, S, J) f32 array out in T(8,128) tiles
+    over its last two dims, padding the J=16 minor dimension 8x — so the
+    unpacked vals buffer OCCUPIES and every CGLS matvec STREAMS 8x its
+    logical bytes in HBM (the round-4 16x OOM and the matvec's measured
+    ~order-of-magnitude gap to its own HBM floor, COMPARISON.md). Packed,
+    the minor dim is S*J (768 at the vortex scales — a lane multiple), so
+    vals stream at ~1x. Beyond-HBM row counts run the matvecs as a
+    `lax.scan` over row chunks: splitting the MAJOR row axis is a
+    tile-preserving reshape for this layout (the unpacked layout cannot
+    do this — its scan-ready reshape materializes the full padded copy,
+    which is why BlockSparse uses static unrolled slices instead).
+
+    Field order matches PaddedSparse/BlockSparse: A[-1] is the static
+    column descriptor (n_blocks). `vals` may be stored bf16 (opt-in);
+    all contractions accumulate in f32.
+    """
+    vals: jax.Array   # (R, S*J)
+    cols: jax.Array   # (R, S) int32 block ids (padding: val=0, col=0)
+    n_blocks: int
+
+    @property
+    def bdim(self) -> int:
+        return self.vals.shape[-1] // self.cols.shape[-1]
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_blocks * self.bdim
+
+    def _chunk_rows(self) -> int:
+        sj = self.vals.shape[-1]
+        return max(8, (_MATVEC_ROWS_PER_CHUNK_ELEMS // sj) // 8 * 8)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        R, S = self.cols.shape
+        J = self.bdim
+        X = x.reshape(self.n_blocks, J)
+        if R * S * J <= _MATVEC_CHUNK_ELEMS:
+            g = X[self.cols].reshape(R, S * J)
+            return jnp.einsum("rk,rk->r", self.vals, g,
+                              preferred_element_type=jnp.float32)
+        rows = self._chunk_rows()
+        pad = (-R) % rows
+        v = jnp.pad(self.vals, ((0, pad), (0, 0))).reshape(-1, rows, S * J)
+        c = jnp.pad(self.cols, ((0, pad), (0, 0))).reshape(-1, rows, S)
+
+        def body(_, vc):
+            vi, ci = vc
+            g = X[ci].reshape(rows, S * J)
+            return None, jnp.einsum("rk,rk->r", vi, g,
+                                    preferred_element_type=jnp.float32)
+
+        _, outs = jax.lax.scan(body, None, (v, c))
+        return outs.reshape(-1)[:R]
+
+    def rmv(self, r: jax.Array) -> jax.Array:
+        R, S = self.cols.shape
+        J = self.bdim
+        if R * S * J <= _MATVEC_CHUNK_ELEMS:
+            contrib = (self.vals * r[:, None]).reshape(-1, J)
+            out = jax.ops.segment_sum(contrib, self.cols.reshape(-1),
+                                      num_segments=self.n_blocks)
+            return out.reshape(-1)
+        rows = self._chunk_rows()
+        pad = (-R) % rows
+        v = jnp.pad(self.vals, ((0, pad), (0, 0))).reshape(-1, rows, S * J)
+        c = jnp.pad(self.cols, ((0, pad), (0, 0))).reshape(-1, rows, S)
+        rr = jnp.pad(r, (0, pad)).reshape(-1, rows)
+
+        def body(acc, vcr):
+            vi, ci, ri = vcr
+            contrib = (vi * ri[:, None]).reshape(-1, J)
+            return acc + jax.ops.segment_sum(
+                contrib, ci.reshape(-1), num_segments=self.n_blocks), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((self.n_blocks, J), jnp.float32), (v, c, rr))
+        return acc.reshape(-1)
+
+    def col_norms(self) -> jax.Array:
+        R, S = self.cols.shape
+        J = self.bdim
+        if R * S * J <= _MATVEC_CHUNK_ELEMS:
+            sq = (self.vals.astype(jnp.float32) ** 2).reshape(-1, J)
+            out = jax.ops.segment_sum(sq, self.cols.reshape(-1),
+                                      num_segments=self.n_blocks)
+            return jnp.sqrt(out.reshape(-1))
+        rows = self._chunk_rows()
+        pad = (-R) % rows
+        v = jnp.pad(self.vals, ((0, pad), (0, 0))).reshape(-1, rows, S * J)
+        c = jnp.pad(self.cols, ((0, pad), (0, 0))).reshape(-1, rows, S)
+
+        def body(acc, vc):
+            vi, ci = vc
+            sq = (vi.astype(jnp.float32) ** 2).reshape(-1, J)
+            return acc + jax.ops.segment_sum(
+                sq, ci.reshape(-1), num_segments=self.n_blocks), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((self.n_blocks, J), jnp.float32), (v, c))
+        return jnp.sqrt(acc.reshape(-1))
+
+
+def pack_block_sparse(A: BlockSparse, dtype=None) -> BlockSparseP:
+    """(R, S, J) -> (R, S*J) repack (see BlockSparseP). `dtype` optionally
+    narrows the stored coefficients (e.g. jnp.bfloat16 — opt-in: halves
+    the streamed bytes again, ~0.4% relative perturbation of the
+    OPERATOR, acceptable only where the solve tolerance dwarfs it)."""
+    R, S, J = A.vals.shape
+    v = A.vals.reshape(R, S * J)
+    if dtype is not None:
+        v = v.astype(dtype)
+    return BlockSparseP(vals=v, cols=A.cols, n_blocks=int(A[-1]))
+
+
 def build_rmv_gather(cols, n_blocks: int) -> jax.Array:
     """Host-side transpose index for `BlockSparse.rmv_gather`.
 
@@ -715,6 +870,10 @@ def cgls_sparse_chunked(A: PaddedSparse, b: jax.Array, x0: jax.Array,
     preconditioner; reuse skips the Gram reduce + host-f64 eigh. The W
     actually used is returned as info["W"].
     """
+    if t_idx is not None and isinstance(A, BlockSparseP):
+        raise ValueError("rmv_gather (t_idx) is not supported on the "
+                         "packed BlockSparseP layout — use the unpacked "
+                         "BlockSparse operator for that experiment")
     # n_cols (PaddedSparse) / n_blocks (BlockSparse); a jit-built operator
     # carries it as a (weakly-typed) array leaf — coerce to a hashable int
     static_field = int(A[-1])
@@ -855,9 +1014,10 @@ def _sharded_chunked_cgls_fns(mesh, axis: str, op_cls, static_field,
             Aop = mk(vals, cols)
             if precondition:
                 # global column norms: local sum of squares, psum'd
-                if isinstance(Aop, BlockSparse):
+                if isinstance(Aop, (BlockSparse, BlockSparseP)):
                     sq = jax.ops.segment_sum(
-                        (Aop.vals ** 2).reshape(-1, Aop.bdim),
+                        (Aop.vals.astype(jnp.float32) ** 2).reshape(
+                            -1, Aop.bdim),
                         Aop.cols.reshape(-1), num_segments=Aop.n_blocks)
                     Pm = jnp.sqrt(psum(sq.reshape(-1)))
                 else:

@@ -142,6 +142,17 @@ def main(argv=None):
                          "order; ops/linalg.rmv_gather). EXPERIMENT: "
                          "measured 2.7x slower than the scatter on TPU at "
                          "reference scale (COMPARISON.md)")
+    ap.add_argument("--packed_vals", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="repack the assembled coefficient blocks to the "
+                         "(R, S*16) layout before the solve "
+                         "(ops/linalg.BlockSparseP; identical operator "
+                         "algebra). MEASURED null result for speed — the "
+                         "CGLS pair is gather-index-bound, not "
+                         "padded-byte-bound (COMPARISON.md spmv r5) — but "
+                         "required at 16x density, where the unpacked "
+                         "chain exceeds the remote compiler. Incompatible "
+                         "with --rmv_gather. Default: off.")
     ap.add_argument("--ckpt_path", type=str, default="",
                     help="save the solved coefficients (+ config snapshot) "
                          "here after each round; default "
@@ -192,6 +203,7 @@ def main(argv=None):
         pou_normalize=args.pou_normalize,
         cgls_precondition=args.precondition, outlet_v=args.outlet_v,
         rmv_gather=args.rmv_gather, reuse_whitener=args.reuse_whitener,
+        packed_vals=bool(args.packed_vals),
         warm_start=(args.warm_start if args.warm_start is not None else 0.0),
         stream_bc=args.stream_bc, log_dir=args.log_dir)
     cls = StreamVortexModel if args.formulation == "stream" else VortexModel

@@ -563,3 +563,117 @@ def test_blocksparse_chunked_matvec_equivalence(monkeypatch):
     # boundaries; tolerance covers the reordering, not a semantic change
     np.testing.assert_allclose(np.asarray(rmv_chunk), np.asarray(rmv_ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_packed_block_sparse_matches_unpacked(monkeypatch):
+    """BlockSparseP ((R, S*J) packed vals — the T(8,128) tile-padding fix,
+    VERDICT r4 #1) is the same operator as BlockSparse: mv/rmv/col_norms
+    and the per-block Gram agree on both the single-program and the
+    scan-chunked paths."""
+    import insr_pde_tpu.ops.linalg as L
+
+    key = jax.random.PRNGKey(21)
+    R, S, J, NB = 203, 5, 4, 31
+    kv, kc, kx, kr = jax.random.split(key, 4)
+    vals = jax.random.normal(kv, (R, S, J))
+    cols = jax.random.randint(kc, (R, S), 0, NB)
+    x = jax.random.normal(kx, (NB * J,))
+    r = jax.random.normal(kr, (R,))
+    A = L.BlockSparse(vals=vals, cols=cols, n_blocks=NB)
+    P = L.pack_block_sparse(A)
+    assert isinstance(P, L.BlockSparseP)
+    assert P.vals.shape == (R, S * J) and P.bdim == J
+
+    G_ref = L.block_gram(A.vals, A.cols, NB)
+    for tag in ("single", "chunked"):
+        if tag == "chunked":
+            monkeypatch.setattr(L, "_MATVEC_CHUNK_ELEMS", 500)
+            monkeypatch.setattr(L, "_MATVEC_ROWS_PER_CHUNK_ELEMS", 160)
+        np.testing.assert_allclose(np.asarray(P.mv(x)), np.asarray(A.mv(x)),
+                                   rtol=1e-5, atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(P.rmv(r)),
+                                   np.asarray(A.rmv(r)),
+                                   rtol=3e-5, atol=3e-5, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(P.col_norms()),
+                                   np.asarray(A.col_norms()),
+                                   rtol=1e-5, atol=1e-5, err_msg=tag)
+    # packed Gram path (dispatched on shape inside block_gram)
+    G_p = L.block_gram(P.vals, P.cols, NB)
+    np.testing.assert_allclose(np.asarray(G_p), np.asarray(G_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_chunked_cgls_matches_unpacked():
+    """cgls_sparse_chunked over BlockSparseP (jacobi and block-whitened)
+    reproduces the unpacked solve; the sharded-chunked path too."""
+    from jax.sharding import Mesh
+
+    import insr_pde_tpu.ops.linalg as L
+
+    R, S, J, NB = 120, 4, 6, 11
+    A = _random_block_sparse(jax.random.PRNGKey(31), R, S, J, NB)
+    P = L.pack_block_sparse(A)
+    b = jax.random.normal(jax.random.PRNGKey(32), (R,))
+    x0 = jnp.zeros(NB * J)
+
+    for precond in (True, "block"):
+        x_ref, _ = L.cgls_sparse_chunked(
+            A, b, x0, chunk=17, maxiter=400, tol=1e-12, damp=1e-3,
+            precondition=precond)
+        x_p, _ = L.cgls_sparse_chunked(
+            P, b, x0, chunk=17, maxiter=400, tol=1e-12, damp=1e-3,
+            precondition=precond)
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"precond={precond}")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    x_sh, _ = L.cgls_sparse_sharded_chunked(
+        mesh, "rows", P, b, x0, chunk=17, maxiter=400, tol=1e-12,
+        damp=1e-3, precondition="block")
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    # rmv_gather is unpacked-only: the packed op must refuse, not
+    # silently misbehave
+    t_idx = L.build_rmv_gather(A.cols, NB)
+    try:
+        L.cgls_sparse_chunked(P, b, x0, chunk=17, maxiter=10, t_idx=t_idx)
+        raise AssertionError("packed + t_idx must raise")
+    except ValueError:
+        pass
+
+
+def test_vortex_packed_vals_config_matches():
+    """VortexModel(packed_vals=True) solves to the same coefficients as
+    the unpacked default on a toy channel scene."""
+    from insr_pde_tpu.models.vortex import VortexConfig, VortexModel
+
+    base = dict(time_num=3, collocation_pts_num=24, boundary_num=8,
+                n_spatial_basis=12, n_feat=4, neighbor_k=3,
+                picard_iters=1, cgls_maxiter=300, cgls_chunk=40,
+                cgls_damp=1e-2, cgls_precondition="on",
+                log_dir="/tmp/vortex_packed_test")
+    m_ref = VortexModel(VortexConfig(**base, packed_vals=False))
+    m_p = VortexModel(VortexConfig(**base, packed_vals=True))
+    m_ref.matrix_solver()
+    m_p.matrix_solver()
+    u_ref = np.asarray(m_ref.params.u).reshape(-1)
+    u_p = np.asarray(m_p.params.u).reshape(-1)
+    # The coefficient vectors themselves differ in the near-null space
+    # (f32 CGLS reduction-order noise on an ill-conditioned toy Gram —
+    # measured 6.5e-3 between two UNPACKED runs' reduction orders too),
+    # so assert what the operator semantics guarantee: both solves reach
+    # the same least-squares residual and the same operator image.
+    rel = np.linalg.norm(u_p - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 5e-2, rel
+    A, b = m_ref._solver_jits["cgls"][0](
+        jnp.zeros(u_ref.size), *m_ref._pbs())
+    bn = np.asarray(b)
+    Au_ref = np.asarray(A.mv(jnp.asarray(u_ref)))
+    Au_p = np.asarray(A.mv(jnp.asarray(u_p)))
+    res_ref = np.linalg.norm(Au_ref - bn)
+    res_p = np.linalg.norm(Au_p - bn)
+    assert abs(res_p - res_ref) / res_ref < 1e-3, (res_p, res_ref)
+    img = np.linalg.norm(Au_p - Au_ref) / np.linalg.norm(Au_ref)
+    assert img < 3e-3, img

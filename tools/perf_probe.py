@@ -377,6 +377,68 @@ def probe_spmv():
             })
         print(json.dumps(rec), flush=True)
 
+    # packed layout (ops/linalg.BlockSparseP, VERDICT r4 #1): the SAME
+    # operator with vals stored (R, S*J) — the minor dim is S*J=768 (a
+    # lane multiple) instead of J=16, so the T(8,128) tiling pads ~1x
+    # instead of 8x, and every CGLS matvec streams ~1/8 the HBM bytes.
+    # Optional bf16 leg: opt-in storage narrowing (f32 accumulate).
+    from insr_pde_tpu.ops.linalg import BlockSparseP
+
+    p_mv = jax.jit(lambda v, c, x: BlockSparseP(v, c, nb).mv(x))
+    p_rmv = jax.jit(lambda v, c, r: BlockSparseP(v, c, nb).rmv(r))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def _chain_p(v, c, xc, eps, *, k):
+        A = BlockSparseP(v, c, nb)
+
+        def body(s, _):
+            return s + eps * A.rmv(A.mv(s)), None
+
+        out, _ = jax.lax.scan(body, xc, None, length=k)
+        return jnp.sum(out)
+
+    def _scanned_pair_p_ms(pvals, pcols, gx, k_lo, k_hi):
+        eps = jnp.float32(0.0)
+        t_lo = _time_steps(lambda: jax.block_until_ready(
+            _chain_p(pvals, pcols, gx, eps, k=k_lo)), n=3)
+        t_hi = _time_steps(lambda: jax.block_until_ready(
+            _chain_p(pvals, pcols, gx, eps, k=k_hi)), n=3)
+        return max(t_hi - t_lo, 0.0) / (k_hi - k_lo) * 1e3
+
+    for label, Rg, dt in (("packed_ref", R, None),
+                          ("packed_8x", 8 * R, None),
+                          ("packed_8x_bf16", 8 * R, "bfloat16"),
+                          ("packed_16x", 16 * R, None)):
+        kv, kc, kr = jax.random.split(jax.random.PRNGKey(Rg), 3)
+        pvals = jax.random.normal(kv, (Rg, S * J))
+        if dt is not None:
+            pvals = pvals.astype(jnp.bfloat16)
+        pcols = jax.random.randint(kc, (Rg, S), 0, nb)
+        pr = jax.random.normal(kr, (Rg,))
+        op_mb = (pvals.size * pvals.dtype.itemsize + pcols.size * 4) / 1e6
+        tm = _time_steps(
+            lambda: jax.block_until_ready(p_mv(pvals, pcols, x)), n=10)
+        ts = _time_steps(
+            lambda: jax.block_until_ready(p_rmv(pvals, pcols, pr)), n=10)
+        rec = {
+            "probe": "spmv", "layout": label, "rows": Rg,
+            "operator_mb": round(op_mb, 1),
+            "mv_ms": round(tm * 1e3, 3),
+            "rmv_scatter_ms": round(ts * 1e3, 3),
+        }
+        # per-program HBM floor for one AᵀA pair: stream vals twice +
+        # cols twice + vectors (800 GB/s nominal)
+        pair_bytes = 2 * (pvals.size * pvals.dtype.itemsize
+                          + pcols.size * 4) + 2 * (x.size + Rg) * 4
+        rec["pair_hbm_floor_ms"] = round(pair_bytes / 800e9 * 1e3, 3)
+        k_hi = 51 if Rg == R else (9 if Rg <= 8 * R else 3)
+        try:
+            rec["pair_scanned_ms"] = round(
+                _scanned_pair_p_ms(pvals, pcols, x, 1, k_hi), 3)
+        except Exception as e:
+            rec["pair_scanned_error"] = type(e).__name__
+        print(json.dumps(rec), flush=True)
+
 
 def probe_precision():
     """MXU pass count (default=1, high=3, highest=6 bf16 passes) on the
