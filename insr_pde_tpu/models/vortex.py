@@ -664,9 +664,12 @@ class VortexModel:
         # Per-stage wall-clock of every Picard iteration (assemble /
         # whitener / solve) plus the per-program operand footprint, for
         # cost attribution by the probe tools.
-        # The block_until_ready syncs are at program boundaries that the
-        # chunked/host_sync paths already synchronize at, so the
-        # measurement does not change the execution structure.
+        # The stage syncs fetch ONE scalar to host (float of a single
+        # element) rather than jax.block_until_ready: on the tunneled axon
+        # backend block_until_ready can return without waiting (observed
+        # 2026-08-20), so only a host fetch is a trustworthy boundary.
+        # One f32 per stage is noise next to the ~25 ms tunnel latency the
+        # breakdown already carries.
         self.picard_timings = []
         # reuse_whitener cache: only a W computed from a REPRESENTATIVE
         # system (assembled around a nonzero ubar, i.e. with convection
@@ -699,7 +702,7 @@ class VortexModel:
                     # one tile-relayout program; the solve then streams
                     # vals without the 8x minor-dim tile padding
                     A = pack_block_sparse(A)
-            jax.block_until_ready(A.vals)
+            float(A.vals.ravel()[0])
             t_assemble = time.perf_counter() - t0
             # operand footprint of the assemble->solve boundary. The
             # buffers stay DEVICE-RESIDENT between the two programs (jit
@@ -796,14 +799,14 @@ class VortexModel:
                     W = block_whitener_host(A)
                     if cfg.reuse_whitener and representative:
                         W_cache = self._whitener = W
-                jax.block_until_ready(W)
+                float(W.ravel()[0])
                 t_whiten = time.perf_counter() - _tw0
                 u_flat, res, niter = solve_block_jit(
                     A.vals, A.cols, b, u_flat * cfg.warm_start, W)
             else:
                 u_flat, res, niter = solve_jit(A.vals, A.cols, b,
                                                u_flat * cfg.warm_start)
-            jax.block_until_ready(u_flat)
+            float(u_flat.ravel()[0])
             self._picard_seen += 1
             t_solve = time.perf_counter() - t0 - t_whiten
             self.picard_timings.append(

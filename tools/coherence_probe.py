@@ -37,11 +37,19 @@ from insr_pde_tpu.ops.linalg import BlockSparse
 
 
 def _time(fn, n=3):
-    fn()
+    """min-of-n wall clock of fn(r) -> scalar jax.Array.
+
+    fn takes the rep index so each timed call has DISTINCT arguments, and
+    the result is materialized with float(): on the tunneled axon backend
+    block_until_ready can return without waiting (observed 2026-08-20 —
+    repeat calls of an 8x-scale 146 ms program "completed" in 0.1 ms),
+    so only a forced host fetch of a value that depends on the whole
+    computation is a valid timing barrier."""
+    float(fn(-1))  # compile + warm
     ts = []
-    for _ in range(n):
+    for r in range(n):
         t0 = time.perf_counter()
-        fn()
+        float(fn(r))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -77,9 +85,12 @@ def main():
         return jnp.sum(out)
 
     def pair_ms(c):
-        eps = jnp.float32(0.0)
-        t1 = _time(lambda: jax.block_until_ready(chain(vals, c, x, eps, k=1)))
-        t9 = _time(lambda: jax.block_until_ready(chain(vals, c, x, eps, k=9)))
+        # eps varies per rep (1e-30*r is numerically negligible) so no
+        # (program, args) pair repeats — defeats any backend result reuse
+        t1 = _time(lambda r: chain(vals, c, x, jnp.float32(1e-30 * (r + 2)),
+                                   k=1))
+        t9 = _time(lambda r: chain(vals, c, x, jnp.float32(1e-29 * (r + 2)),
+                                   k=9))
         return max(t9 - t1, 0.0) / 8 * 1e3
 
     for label, c in (("random", cols_random), ("sorted0", cols_sorted),

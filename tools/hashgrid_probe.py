@@ -19,10 +19,16 @@ Usage: python tools/hashgrid_probe.py [--platform cpu] [-T 20]
 
 import argparse
 import json
+import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 
 
 def run_one(network: str, T: int, iters: int) -> dict:

@@ -19,12 +19,31 @@ from insr_pde_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
+def _fetch(y):
+    """Real completion barrier: force a host fetch of a value that depends
+    on the whole computation. On the tunneled axon backend,
+    jax.block_until_ready can return WITHOUT waiting (observed 2026-08-20:
+    repeat calls of an 8x-scale 146 ms pair program "completed" in 0.1 ms
+    under block_until_ready; float() of the same result took the full
+    146 ms/iter) — only a host transfer is a trustworthy sync point."""
+    if y is None:
+        return None
+    try:
+        # .ravel()[0] is a device-side gather program that depends on the
+        # producing program — transfers ONE scalar, waits for all of y
+        return float(y) if getattr(y, "ndim", 1) == 0 else float(
+            y.ravel()[0])
+    except TypeError:  # pytrees: fetch the first leaf
+        import jax
+        return _fetch(jax.tree_util.tree_leaves(y)[0])
+
+
 def _time_steps(fn, n=3):
-    fn()  # warmup/compile
+    _fetch(fn())  # warmup/compile
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        fn()
+        _fetch(fn())
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--warm_start", type=float, default=0.0,
                     help="scale of the previous Picard iterate used as "
                          "each solve's x0 (reference cold-starts: 0.0)")
+    ap.add_argument("--packed_vals", action="store_true",
+                    help="repack the assembled blocks to the (R, S*16) "
+                         "layout before the solve (required at 16x "
+                         "density; ops/linalg.BlockSparseP)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip_health", action="store_true")
     ap.add_argument("--quick", action="store_true",
@@ -143,6 +147,7 @@ def main():
            if args.time_window is not None else {}),
         cgls_precondition=args.precondition, stream_bc=args.stream_bc,
         reuse_whitener=args.reuse_whitener, warm_start=args.warm_start,
+        packed_vals=args.packed_vals,
         w_init=args.w_init, w_momentum=args.w_momentum,
         w_continuity=args.w_continuity, cgls_tol=args.cgls_tol,
         log_dir="/tmp/vortex_probe_log")
