@@ -60,6 +60,15 @@ def main(argv=None):
                     choices=["split", "merged", "merged2"])
     ap.add_argument("--advect_trace", type=str, default="euler",
                     choices=["euler", "rk2"])
+    ap.add_argument("--save_ckpt", action="store_true",
+                    help="write a per-step checkpoint (base save_ckpt) so a "
+                         "tunnel stall doesn't lose the horizon; needs "
+                         "--proj_dir")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest per-step ckpt under "
+                         "--proj_dir (RNG key stream restarts; sample draws "
+                         "after the resume point differ statistically from "
+                         "a continuous run)")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,6 +100,8 @@ def main(argv=None):
         fluid_step=args.fluid_step,
         advect_trace=args.advect_trace,
     )
+    if args.resume:
+        cfg.ckpt = "latest"  # setup_dirs must not wipe the exp dir
     cfg.setup_dirs()
     model = Fluid2DModel(cfg)
 
@@ -117,13 +128,23 @@ def main(argv=None):
                           "amp": round(alpha, 6),
                           "sec": round(sec, 1)}), flush=True)
 
-    t0 = time.time()
-    model.initialize()
-    report(0, time.time() - t0)
-    for k in range(1, args.timesteps + 1):
+    start = 1
+    if args.resume:
+        model.load_ckpt("latest")
+        start = model.timestep + 1
+        print(json.dumps({"resumed_at": model.timestep}), flush=True)
+    else:
+        t0 = time.time()
+        model.initialize()
+        report(0, time.time() - t0)
+        if args.save_ckpt:
+            model.save_ckpt()
+    for k in range(start, args.timesteps + 1):
         t0 = time.time()
         model.step()
         report(k, time.time() - t0)
+        if args.save_ckpt:
+            model.save_ckpt()
 
     print(json.dumps({
         "summary": "fluid_taylorgreen_analytic_golden",
